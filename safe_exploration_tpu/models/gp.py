@@ -1,0 +1,331 @@
+"""Multi-output Gaussian-process regression — the dynamics-residual model.
+
+Replaces BOTH of the reference's GP stacks with one JAX implementation
+(SURVEY.md §2.3):
+  * ``ssm_gpy/gaussian_process.py::SimpleGPModel`` — GPy regression, one
+    independent scalar GP per output dimension, hyperopt, update_model;
+  * ``gp_models_utils_casadi.py::gp_pred*`` — the symbolic posterior that the
+    reference bakes into its IPOPT NLP. Here the SAME function is traced into the
+    SQP graph (jit), differentiated (jacfwd) and batched (vmap).
+
+TPU-first design decisions (SURVEY.md §7):
+  * **Static shapes**: the training set lives in a fixed (n_max, d) buffer with a
+    validity mask. The reference reallocates numpy arrays every episode; here the
+    dataset "grows" by writing into the padded buffer — no retrace, no recompile.
+  * **Masked-identity Gram trick**: K_ij = m_i m_j k(x_i,x_j) + delta_ij * (m_i
+    (sigma_n^2 + jitter) + (1 - m_i)). Masked rows/cols reduce to the identity, so
+    chol(K) is well-defined for ANY mask, beta = K^{-1}(m*y) is exactly zero on
+    padding, and posterior mean/var are bit-identical to the unpadded computation.
+  * The Gram build and the (E-batched) Cholesky are MXU work; for the large-N
+    tier there is a Pallas blocked Cholesky (ops/pallas) and a sharded
+    inducing-point path (models/sparse_gp.py, parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from safe_exploration_tpu.models.kernels import (
+    gram,
+    init_kernel_params,
+    kernel_diag,
+)
+
+__all__ = ["GP", "gp_init", "gp_refit", "gp_update_data", "gp_append_point",
+           "gp_nll", "gp_fit", "gp_predict", "gp_predict_batch", "gp_predict_jac"]
+
+_JITTER = 1e-6
+
+
+@struct.dataclass
+class GP:
+    """Padded multi-output GP state (a pytree — vmap/shard/checkpoint friendly).
+
+    One independent scalar GP per output dimension (parity with the reference's
+    per-dim GPy models), each with its own kernel type and hyperparameters.
+    """
+
+    kern_types: tuple = struct.field(pytree_node=False)  # (E,) strings, static
+    x: jax.Array        # (n_max, d_in) padded training inputs
+    y: jax.Array        # (n_max, e) padded training targets
+    mask: jax.Array     # (n_max,) 1.0 where valid
+    params: tuple       # per-dim kernel param dicts, length e
+    log_noise: jax.Array  # (e,) log observation-noise std
+    chol: jax.Array     # (e, n_max, n_max) lower Cholesky of masked K per dim
+    beta: jax.Array     # (e, n_max) K^{-1} (mask * y_d) per dim
+    head: jax.Array     # () int32 ring-buffer write pointer
+
+    @property
+    def n_max(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_out(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def n_points(self) -> jax.Array:
+        return jnp.sum(self.mask).astype(jnp.int32)
+
+
+def _masked_gram(
+    kern_type: str, params: dict, x: jax.Array, mask: jax.Array, noise_var: jax.Array
+) -> jax.Array:
+    """Gram matrix with identity padding on masked entries (see module docstring)."""
+    k = gram(kern_type, params, x, x)
+    k = k * (mask[:, None] * mask[None, :])
+    diag = mask * (noise_var + _JITTER) + (1.0 - mask)
+    return k + jnp.diag(diag)
+
+
+def gp_refit(gp: GP) -> GP:
+    """Recompute posterior factors (chol, beta) for the current data + params.
+
+    Parity: the Cholesky the reference does in GPy/LAPACK on every
+    ``update_model`` (SURVEY.md §3.1 hot loop 'GP refit').
+    """
+    chols = []
+    betas = []
+    for d in range(gp.n_out):
+        noise_var = jnp.exp(2.0 * gp.log_noise[d])
+        k = _masked_gram(gp.kern_types[d], gp.params[d], gp.x, gp.mask, noise_var)
+        l = jnp.linalg.cholesky(k)
+        yd = gp.mask * gp.y[:, d]
+        z = jax.scipy.linalg.solve_triangular(l, yd, lower=True)
+        b = jax.scipy.linalg.solve_triangular(l.T, z, lower=False)
+        chols.append(l)
+        betas.append(b)
+    return gp.replace(chol=jnp.stack(chols), beta=jnp.stack(betas))
+
+
+def gp_init(
+    kern_types: tuple,
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    n_max: int,
+    log_noise: float | jax.Array = -2.3,
+    params: tuple | None = None,
+) -> GP:
+    """Build a GP from (possibly empty) initial data, padded to ``n_max`` rows.
+
+    Parity: reference ``SimpleGPModel.__init__`` / ``train`` (SURVEY.md §2.3).
+    """
+    n, d_in = x.shape
+    e = y.shape[1]
+    if len(kern_types) != e:
+        raise ValueError("need one kernel type per output dim")
+    if n > n_max:
+        raise ValueError(f"initial data ({n}) exceeds n_max ({n_max})")
+    dtype = x.dtype
+    xp = jnp.zeros((n_max, d_in), dtype).at[:n].set(x)
+    yp = jnp.zeros((n_max, e), dtype).at[:n].set(y)
+    mask = jnp.zeros((n_max,), dtype).at[:n].set(1.0)
+    if params is None:
+        params = tuple(init_kernel_params(kt, d_in, dtype) for kt in kern_types)
+    ln = jnp.broadcast_to(jnp.asarray(log_noise, dtype), (e,))
+    gp = GP(
+        kern_types=tuple(kern_types),
+        x=xp,
+        y=yp,
+        mask=mask,
+        params=params,
+        log_noise=ln,
+        chol=jnp.zeros((e, n_max, n_max), dtype),
+        beta=jnp.zeros((e, n_max), dtype),
+        head=jnp.asarray(n, jnp.int32),
+    )
+    return gp_refit(gp)
+
+
+def gp_update_data(
+    gp: GP, x_new: jax.Array, y_new: jax.Array, *, replace_old: bool = True
+) -> GP:
+    """Append a batch of transitions; ring-buffer overwrite when full.
+
+    Parity: reference ``SimpleGPModel.update_model(x_new, y_new, replace_old)``
+    (SURVEY.md §2.3). jit-able: positions are computed with modular arithmetic on
+    the current count, so shapes stay static. When the buffer is full and
+    ``replace_old`` is False the new points are dropped (reference raises; inside
+    jit we saturate instead — size the buffer for the experiment).
+    """
+    k = x_new.shape[0]
+    idx = gp.head + jnp.arange(k, dtype=jnp.int32)
+    if replace_old:
+        idx = idx % gp.n_max
+        keep = jnp.ones((k,), bool)
+        head = (gp.head + k) % gp.n_max
+    else:
+        keep = idx < gp.n_max
+        idx = jnp.minimum(idx, gp.n_max - 1)
+        head = jnp.minimum(gp.head + k, gp.n_max)
+    x = gp.x.at[idx].set(jnp.where(keep[:, None], x_new, gp.x[idx]))
+    y = gp.y.at[idx].set(jnp.where(keep[:, None], y_new, gp.y[idx]))
+    mask = gp.mask.at[idx].set(jnp.where(keep, 1.0, gp.mask[idx]))
+    return gp_refit(gp.replace(x=x, y=y, mask=mask, head=head))
+
+
+def gp_append_point(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
+    """O(n^2) incremental append of ONE point via bordered Cholesky extension.
+
+    With identity padding, K is block-diagonal across the masked boundary, so
+    activating slot ``n`` only adds one row to each factor:
+        l_row = L^{-1} k(x_new, X_act)   (triangular solve, O(n^2))
+        l_nn  = sqrt(k(x_new,x_new) + sigma_n^2 + jitter - ||l_row||^2)
+    beta is then refreshed with two triangular solves. This is the incremental
+    refit used by the 256-episode batched-exploration config (BASELINE config 3)
+    instead of the reference's full O(n^3) GPy re-factorization.
+
+    Requires a free slot (mask not full); caller sizes n_max accordingly.
+    """
+    # Slot to activate. The bordered-extension factor update is only valid for
+    # append-only growth (no ring wrap): previously-inactive slots are identity
+    # rows, which the new row replaces.
+    slot = jnp.minimum(gp.head, gp.n_max - 1)
+    x = gp.x.at[slot].set(x_new)
+    y = gp.y.at[slot].set(y_new)
+    mask = gp.mask.at[slot].set(1.0)
+
+    row_sel = jnp.arange(gp.n_max) == slot
+
+    chols = []
+    betas = []
+    for d in range(gp.n_out):
+        noise_var = jnp.exp(2.0 * gp.log_noise[d])
+        # masked cross-covariances of the new point vs existing actives
+        kv = gram(gp.kern_types[d], gp.params[d], x_new[None, :], x)[0] * gp.mask
+        l_row = jax.scipy.linalg.solve_triangular(gp.chol[d], kv, lower=True)
+        # old identity rows have L^{-1} = I on padding, kv is 0 there -> 0 contribution
+        knn = kernel_diag(gp.kern_types[d], gp.params[d], x_new[None, :])[0]
+        l_nn = jnp.sqrt(
+            jnp.maximum(knn + noise_var + _JITTER - jnp.dot(l_row, l_row), _JITTER)
+        )
+        # write the new row (old row was e_slot from identity padding)
+        new_l = gp.chol[d]
+        new_l = new_l.at[slot, :].set(jnp.where(row_sel, l_nn, l_row))
+        # beta refresh: two O(n^2) triangular solves
+        yd = mask * y[:, d]
+        z = jax.scipy.linalg.solve_triangular(new_l, yd, lower=True)
+        b = jax.scipy.linalg.solve_triangular(new_l.T, z, lower=False)
+        chols.append(new_l)
+        betas.append(b)
+
+    return gp.replace(
+        x=x, y=y, mask=mask, chol=jnp.stack(chols), beta=jnp.stack(betas),
+        head=jnp.minimum(gp.head + 1, gp.n_max),
+    )
+
+
+def gp_nll(params: tuple, log_noise: jax.Array, gp: GP) -> jax.Array:
+    """Negative log marginal likelihood, summed over output dims.
+
+    Identity padding contributes 0 to both the quadratic form and the log-det, so
+    the value equals the unpadded NLL up to the constant 0.5*N*log(2*pi) term
+    (which uses the true count). Parity: GPy's objective in
+    ``SimpleGPModel.train`` (SURVEY.md §2.3).
+    """
+    total = jnp.asarray(0.0, gp.x.dtype)
+    n_eff = jnp.sum(gp.mask)
+    for d in range(gp.n_out):
+        noise_var = jnp.exp(2.0 * log_noise[d])
+        k = _masked_gram(gp.kern_types[d], params[d], gp.x, gp.mask, noise_var)
+        l = jnp.linalg.cholesky(k)
+        yd = gp.mask * gp.y[:, d]
+        z = jax.scipy.linalg.solve_triangular(l, yd, lower=True)
+        quad = 0.5 * jnp.dot(z, z)
+        logdet = jnp.sum(jnp.log(jnp.diagonal(l)))
+        total = total + quad + logdet + 0.5 * n_eff * jnp.log(2.0 * jnp.pi)
+    return total
+
+
+def gp_fit(gp: GP, *, iters: int = 200, lr: float = 5e-2) -> GP:
+    """Hyperparameter optimization: Adam on the log-space NLL, fixed iterations.
+
+    Replaces GPy's L-BFGS ``optimize_restarts`` (SURVEY.md §2.3) with a jit-able
+    fixed-budget optimizer so hyperopt can run INSIDE the episodic scan and be
+    vmapped across episodes — the reference must drop to Python/LAPACK here.
+    """
+    opt = optax.adam(lr)
+
+    def loss(theta):
+        return gp_nll(theta[0], theta[1], gp)
+
+    theta0 = (gp.params, gp.log_noise)
+    state0 = opt.init(theta0)
+
+    def step(carry, _):
+        theta, opt_state = carry
+        g = jax.grad(loss)(theta)
+        updates, opt_state = opt.update(g, opt_state)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, opt_state), None
+
+    (theta, _), _ = jax.lax.scan(step, (theta0, state0), None, length=iters)
+    return gp_refit(gp.replace(params=theta[0], log_noise=theta[1]))
+
+
+def _predict_dim(gp: GP, d: int, z: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Latent posterior mean/variance of output dim d at a single input z (d_in,)."""
+    kv = gram(gp.kern_types[d], gp.params[d], z[None, :], gp.x)[0] * gp.mask  # (n_max,)
+    mean = jnp.dot(kv, gp.beta[d])
+    v = jax.scipy.linalg.solve_triangular(gp.chol[d], kv, lower=True)
+    kzz = kernel_diag(gp.kern_types[d], gp.params[d], z[None, :])[0]
+    var = jnp.maximum(kzz - jnp.dot(v, v), 1e-12)
+    return mean, var
+
+
+def gp_predict(gp: GP, z: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Posterior mean and LATENT variance at one input.
+
+    Args:   z: (d_in,) state-action input.
+    Returns: (mean (e,), var (e,)).
+
+    Parity: reference ``SimpleGPModel.predict`` / casadi ``gp_pred``
+    (SURVEY.md §2.3) — mean is k(z,X) beta (O(n)), variance is
+    k(z,z) - ||L^{-1} k(z,X)||^2 (O(n^2)).
+    """
+    means, vars_ = zip(*(_predict_dim(gp, d, z) for d in range(gp.n_out)))
+    return jnp.stack(means), jnp.stack(vars_)
+
+
+def gp_predict_batch(gp: GP, z: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Batched prediction: z (m, d_in) -> (mean (m, e), var (m, e))."""
+    return jax.vmap(lambda zz: gp_predict(gp, zz))(z)
+
+
+def gp_predict_jac(
+    gp: GP, z: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Prediction + input-Jacobians of mean and std at one input.
+
+    Returns (mean (e,), var (e,), jac_mean (e, d_in), jac_std (e, d_in)).
+
+    Parity: reference ``SimpleGPModel.predictive_gradients`` / ``linearize_predict``
+    (SURVEY.md §2.3, §3.4) — implemented as ONE ``jacfwd`` over the predict
+    function instead of GPy's handwritten gradient formulas.
+    """
+    mean, var = gp_predict(gp, z)
+
+    def mean_fn(zz):
+        return gp_predict(gp, zz)[0]
+
+    def std_fn(zz):
+        return jnp.sqrt(gp_predict(gp, zz)[1])
+
+    jac_mean = jax.jacfwd(mean_fn)(z)
+    jac_std = jax.jacfwd(std_fn)(z)
+    return mean, var, jac_mean, jac_std
+
+
+def gp_export_params(gp: GP) -> dict[str, Any]:
+    """Flat dict view of hyperparameters (checkpointing / logging)."""
+    return {
+        "params": gp.params,
+        "log_noise": gp.log_noise,
+        "n_points": gp.n_points,
+    }

@@ -1,0 +1,94 @@
+"""State-space model abstraction: the uncertainty model the safety engine consumes.
+
+Parity: reference ``state_space_models.py::StateSpaceModel`` (SURVEY.md §2.3) —
+``predict(states, actions, jacobians, full_cov) -> (mean, var[, jacobians])`` over
+inputs z = (x, u), modeling RESIDUAL dynamics Delta x = f(x, u) - prior(x, u).
+
+The reference expresses this as an ABC with three concrete families (GPy, GPyTorch,
+CEM-specific torch). Here the SSM is a pytree dataclass + pure functions; the GP
+backend is :mod:`safe_exploration_tpu.models.gp`, and alternative uncertainty
+models (sparse GP, MC-dropout net) satisfy the same 4-function protocol, keeping
+the solver seam pluggable (SURVEY.md §2.6 note).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from safe_exploration_tpu.models import gp as gp_mod
+from safe_exploration_tpu.models.gp import GP
+
+__all__ = ["GPSSM", "ssm_predict", "ssm_predict_jac", "ssm_update", "ssm_fit",
+           "make_gp_ssm"]
+
+
+@struct.dataclass
+class GPSSM:
+    """GP residual-dynamics model + the Lipschitz constants the safety math needs.
+
+    l_mu / l_sigma: per-output-dim Lipschitz constants of the posterior-mean
+    gradient and of the predictive std (SURVEY.md §2.2). The reference supplies
+    them via config; they are carried here so reachability is self-contained.
+    """
+
+    gp: GP
+    l_mu: jax.Array     # (n_s,)
+    l_sigma: jax.Array  # (n_s,)
+
+
+def make_gp_ssm(
+    kern_types: tuple,
+    x: jax.Array,
+    u: jax.Array,
+    y: jax.Array,
+    *,
+    n_max: int,
+    l_mu: jax.Array,
+    l_sigma: jax.Array,
+    log_noise: float = -2.3,
+) -> GPSSM:
+    """Build a GP-SSM from initial transition data (x_t, u_t) -> residual y_t."""
+    z = jnp.concatenate([x, u], axis=-1)
+    gp = gp_mod.gp_init(kern_types, z, y, n_max=n_max, log_noise=log_noise)
+    return GPSSM(gp=gp, l_mu=l_mu, l_sigma=l_sigma)
+
+
+def ssm_predict(ssm: GPSSM, x: jax.Array, u: jax.Array):
+    """Residual mean and variance at one (state, action).
+
+    Returns (mu (n_s,), var (n_s,)). Parity: ``StateSpaceModel.predict`` without
+    jacobians (SURVEY.md §2.3).
+    """
+    z = jnp.concatenate([x, u], axis=-1)
+    return gp_mod.gp_predict(ssm.gp, z)
+
+
+def ssm_predict_jac(ssm: GPSSM, x: jax.Array, u: jax.Array):
+    """Prediction + Jacobians split over state and control.
+
+    Returns (mu, var, jac_mu_x (n_s, n_s), jac_mu_u (n_s, n_u)).
+    Parity: ``StateSpaceModel.predict(..., jacobians=True)`` (SURVEY.md §2.3);
+    the reachability linearization consumes the mean Jacobians (SURVEY.md §2.4).
+    """
+    n_s = x.shape[-1]
+    z = jnp.concatenate([x, u], axis=-1)
+    mu, var, jac_mu, _ = gp_mod.gp_predict_jac(ssm.gp, z)
+    return mu, var, jac_mu[:, :n_s], jac_mu[:, n_s:]
+
+
+def ssm_update(
+    ssm: GPSSM, x: jax.Array, u: jax.Array, y: jax.Array, *, replace_old: bool = True
+) -> GPSSM:
+    """Append observed transitions (batch) and refresh posterior factors.
+
+    Parity: ``StateSpaceModel.update_model`` (SURVEY.md §2.3/§2.5).
+    """
+    z = jnp.concatenate([x, u], axis=-1)
+    return ssm.replace(gp=gp_mod.gp_update_data(ssm.gp, z, y, replace_old=replace_old))
+
+
+def ssm_fit(ssm: GPSSM, *, iters: int = 200, lr: float = 5e-2) -> GPSSM:
+    """Re-optimize GP hyperparameters (the per-episode ``opt_hyp=True`` path)."""
+    return ssm.replace(gp=gp_mod.gp_fit(ssm.gp, iters=iters, lr=lr))

@@ -1,0 +1,153 @@
+"""GP stack oracle tests (SURVEY.md §4.1/§4.3 strategy): posterior formulas vs a
+handwritten f64 numpy oracle, padding invariance, jacfwd vs finite differences,
+incremental Cholesky vs full refit, hyperopt decreases NLL."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_exploration_tpu.models import (
+    gp_append_point,
+    gp_fit,
+    gp_init,
+    gp_nll,
+    gp_predict,
+    gp_predict_batch,
+    gp_predict_jac,
+    gp_update_data,
+)
+
+
+def numpy_rbf(x1, x2, ls, sf2):
+    d2 = ((x1[:, None, :] / ls - x2[None, :, :] / ls) ** 2).sum(-1)
+    return sf2 * np.exp(-0.5 * d2)
+
+
+def make_data(rng, n=25, d=3, e=2):
+    x = rng.standard_normal((n, d))
+    y = np.stack(
+        [np.sin(x @ rng.standard_normal(d)) for _ in range(e)], axis=-1
+    ) + 0.01 * rng.standard_normal((n, e))
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_posterior_matches_numpy_oracle(rng):
+    x, y = make_data(rng)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=40, log_noise=-2.0)
+    z = jnp.asarray(rng.standard_normal(3))
+    mean, var = gp_predict(gp, z)
+
+    # handwritten f64 oracle with the same (unit) hyperparameters
+    noise = np.exp(2 * -2.0)
+    for d in range(2):
+        k = numpy_rbf(np.asarray(x), np.asarray(x), 1.0, 1.0)
+        k += (noise + 1e-6) * np.eye(25)
+        kv = numpy_rbf(np.asarray(z)[None], np.asarray(x), 1.0, 1.0)[0]
+        alpha = np.linalg.solve(k, np.asarray(y)[:, d])
+        m_ref = kv @ alpha
+        v_ref = 1.0 - kv @ np.linalg.solve(k, kv)
+        np.testing.assert_allclose(float(mean[d]), m_ref, rtol=1e-8)
+        np.testing.assert_allclose(float(var[d]), v_ref, rtol=1e-7, atol=1e-10)
+
+
+def test_padding_invariance(rng):
+    """Posterior must be independent of n_max (the masked-identity Gram trick)."""
+    x, y = make_data(rng, n=15)
+    z = jnp.asarray(rng.standard_normal(3))
+    outs = []
+    for n_max in (15, 20, 64):
+        gp = gp_init(("rbf", "lin_rbf"), x, y, n_max=n_max)
+        outs.append(gp_predict(gp, z))
+    for m, v in outs[1:]:
+        np.testing.assert_allclose(np.asarray(m), np.asarray(outs[0][0]), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(outs[0][1]), rtol=1e-8)
+
+
+@pytest.mark.parametrize("kt", ["rbf", "lin", "mat52", "lin_rbf", "lin_mat52"])
+def test_jacobians_match_finite_differences(rng, kt):
+    x, y = make_data(rng, n=20, e=1)
+    gp = gp_init((kt,), x, y, n_max=32)
+    z = jnp.asarray(rng.standard_normal(3) * 0.5)
+    mean, var, j_mu, j_sigma = gp_predict_jac(gp, z)
+    eps = 1e-6
+    for i in range(3):
+        dz = jnp.zeros(3).at[i].set(eps)
+        mp, vp = gp_predict(gp, z + dz)
+        mm, vm = gp_predict(gp, z - dz)
+        fd_mu = (mp - mm) / (2 * eps)
+        fd_sigma = (jnp.sqrt(vp) - jnp.sqrt(vm)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(j_mu[:, i]), np.asarray(fd_mu), rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(j_sigma[:, i]), np.asarray(fd_sigma), rtol=2e-4, atol=1e-7)
+
+
+def test_update_data_then_predict_consistency(rng):
+    x, y = make_data(rng, n=10)
+    x2, y2 = make_data(rng, n=5)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=32)
+    gp2 = gp_update_data(gp, x2, y2)
+    # equals training on the concatenation from scratch
+    gp_ref = gp_init(("rbf", "rbf"), jnp.concatenate([x, x2]), jnp.concatenate([y, y2]), n_max=32)
+    z = jnp.asarray(rng.standard_normal(3))
+    m1, v1 = gp_predict(gp2, z)
+    m2, v2 = gp_predict(gp_ref, z)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8)
+    assert int(gp2.n_points) == 15
+
+
+def test_ring_buffer_overwrite(rng):
+    x, y = make_data(rng, n=8)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=8)
+    x2, y2 = make_data(rng, n=3)
+    gp2 = gp_update_data(gp, x2, y2, replace_old=True)
+    assert int(gp2.n_points) == 8  # stays full
+    # oldest 3 replaced
+    np.testing.assert_allclose(np.asarray(gp2.x[:3]), np.asarray(x2))
+    # and a second wrap continues FIFO from slot 3
+    x3, y3 = make_data(rng, n=2)
+    gp3 = gp_update_data(gp2, x3, y3, replace_old=True)
+    np.testing.assert_allclose(np.asarray(gp3.x[3:5]), np.asarray(x3))
+
+
+def test_incremental_append_matches_full_refit(rng):
+    x, y = make_data(rng, n=12)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=20)
+    xn = jnp.asarray(rng.standard_normal(3))
+    yn = jnp.asarray(rng.standard_normal(2))
+    gp_inc = gp_append_point(gp, xn, yn)
+    gp_full = gp_update_data(gp, xn[None], yn[None])
+    np.testing.assert_allclose(np.asarray(gp_inc.chol), np.asarray(gp_full.chol), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gp_inc.beta), np.asarray(gp_full.beta), rtol=1e-7, atol=1e-10)
+
+
+def test_hyperopt_decreases_nll(rng):
+    x, y = make_data(rng, n=30)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=40, log_noise=-1.0)
+    before = float(gp_nll(gp.params, gp.log_noise, gp))
+    gp_opt = jax.jit(lambda g: gp_fit(g, iters=150, lr=5e-2))(gp)
+    after = float(gp_nll(gp_opt.params, gp_opt.log_noise, gp_opt))
+    assert after < before - 1.0
+
+
+def test_vmap_over_gps(rng):
+    """A batch of GPs (per-episode models, BASELINE config 3) must vmap."""
+    xs, ys = zip(*(make_data(rng, n=10) for _ in range(4)))
+    gps = [gp_init(("rbf", "rbf"), x, y, n_max=16) for x, y in zip(xs, ys)]
+    batched = jax.tree.map(lambda *a: jnp.stack(a), *gps)
+    z = jnp.asarray(rng.standard_normal((4, 3)))
+    means, _ = jax.jit(jax.vmap(gp_predict))(batched, z)
+    for i in range(4):
+        m_ref, _ = gp_predict(gps[i], z[i])
+        np.testing.assert_allclose(np.asarray(means[i]), np.asarray(m_ref), rtol=1e-9)
+
+
+def test_batch_predict_matches_loop(rng):
+    x, y = make_data(rng, n=18)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=32)
+    zs = jnp.asarray(rng.standard_normal((7, 3)))
+    mb, vb = gp_predict_batch(gp, zs)
+    for i in range(7):
+        m, v = gp_predict(gp, zs[i])
+        np.testing.assert_allclose(np.asarray(mb[i]), np.asarray(m), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(vb[i]), np.asarray(v), rtol=1e-12)
