@@ -1,0 +1,139 @@
+"""Benchmark harness — the driver runs this on real TPU hardware.
+
+Measures the BASELINE.json headline metric: parallel safe-MPC solves/sec
+(pendulum, H=5) on one chip — a batch of full SQP safety-NLP solves (GP
+posterior + Jacobians, ellipsoid tube, augmented-Lagrangian Newton) vmapped into
+one XLA program. Also reports GP predict+Cholesky latency as a secondary metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N/1000, ...}
+
+``vs_baseline`` is against the driver's north-star target of 1000 solves/sec
+(BASELINE.md: the reference publishes no numbers; the CasADi/IPOPT
+implementation solves ONE problem at a time on CPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype):
+    from safe_exploration_tpu.envs import env_step
+    from safe_exploration_tpu.models import make_gp_ssm
+    from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
+
+    cfg = ExperimentConfig(
+        name="bench", solver="sqp", n_safe=n_safe, n_max=n_max,
+        sqp_outer=8, sqp_inner=4,
+    )
+    exp = build_experiment(cfg, dtype=dtype)
+    env, a, b = exp["env"], exp["a"], exp["b"]
+
+    key = jax.random.PRNGKey(0)
+    xs = (
+        jax.random.uniform(key, (n_data, 2), dtype, -1.0, 1.0)
+        * jnp.asarray([0.3, 1.0], dtype)
+    )
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (n_data, 1), dtype, -1.0, 1.0)
+    _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+    ssm = make_gp_ssm(
+        exp["kern_types"], xs, us, resid, n_max=n_max,
+        l_mu=jnp.full((2,), 0.05, dtype), l_sigma=jnp.full((2,), 0.02, dtype),
+        log_noise=-4.0,
+    )
+
+    x0s = (
+        jax.random.uniform(jax.random.fold_in(key, 2), (batch, 2), dtype, -1.0, 1.0)
+        * jnp.asarray([0.15, 0.4], dtype)
+    )
+    warm = jnp.zeros((batch, n_safe, 1), dtype)
+
+    solve = jax.jit(jax.vmap(
+        lambda x, w: exp["planner"](jax.random.PRNGKey(0), ssm, x, w)
+    ))
+    return solve, ssm, x0s, warm
+
+
+def bench_solves(batch: int, iters: int, n_max: int, n_data: int, n_safe: int):
+    dtype = jnp.float32
+    solve, ssm, x0s, warm = build(batch, n_max, n_data, n_safe, dtype)
+
+    # compile + warmup
+    out = solve(x0s, warm)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = solve(x0s, warm)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    solves_per_sec = batch * iters / dt
+    feasible_frac = float(jnp.mean(out[1].astype(jnp.float32)))
+    return solves_per_sec, feasible_frac
+
+
+def bench_gp_latency(n: int = 256, d: int = 3, e: int = 2):
+    """Secondary metric: GP refit (Cholesky) + predict latency."""
+    from safe_exploration_tpu.models import gp_init, gp_predict_jac, gp_refit
+
+    dtype = jnp.float32
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, d), dtype)
+    y = jax.random.normal(jax.random.fold_in(key, 1), (n, e), dtype)
+    gp = gp_init(("rbf",) * e, x, y, n_max=n)
+    refit = jax.jit(gp_refit)
+    predict = jax.jit(lambda g, z: gp_predict_jac(g, z))
+    z = jnp.zeros((d,), dtype)
+    jax.block_until_ready(refit(gp))
+    jax.block_until_ready(predict(gp, z))
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g2 = refit(gp)
+    jax.block_until_ready(g2)
+    chol_ms = (time.perf_counter() - t0) / reps * 1e3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = predict(gp, z)
+    jax.block_until_ready(out)
+    pred_ms = (time.perf_counter() - t0) / reps * 1e3
+    return chol_ms, pred_ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--n-max", type=int, default=128)
+    ap.add_argument("--n-data", type=int, default=64)
+    ap.add_argument("--n-safe", type=int, default=5)
+    args = ap.parse_args()
+
+    solves_per_sec, feasible_frac = bench_solves(
+        args.batch, args.iters, args.n_max, args.n_data, args.n_safe
+    )
+    chol_ms, pred_ms = bench_gp_latency()
+
+    result = {
+        "metric": "safe_mpc_solves_per_sec_pendulum_H5",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / 1000.0, 3),
+        "batch": args.batch,
+        "feasible_frac": round(feasible_frac, 3),
+        "gp_refit_chol_ms_n256": round(chol_ms, 3),
+        "gp_predict_jac_ms_n256": round(pred_ms, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ from safe_exploration_tpu.models.kernels import (
 )
 from safe_exploration_tpu.models.ssm import (
     GPSSM,
+    estimate_lipschitz,
     make_gp_ssm,
     ssm_fit,
     ssm_predict,
@@ -36,5 +37,5 @@ __all__ = [
     "gp_fit", "gp_predict", "gp_predict_batch", "gp_predict_jac",
     "KERNELS", "gram", "init_kernel_params", "kernel_diag",
     "GPSSM", "make_gp_ssm", "ssm_predict", "ssm_predict_jac", "ssm_update",
-    "ssm_fit",
+    "ssm_fit", "estimate_lipschitz",
 ]

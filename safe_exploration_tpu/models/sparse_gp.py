@@ -1,0 +1,240 @@
+"""Sparse (inducing-point) GP regression — the large-N tier (BASELINE config 4).
+
+Parity: the reference's sparse option in ``ssm_gpy/gaussian_process.py``
+(GPy ``SparseGPRegression`` via ``Z`` inducing inputs — SURVEY.md §2.3). This is
+the Titsias/VFE (SGPR) formulation:
+
+    Sigma   = Kuu + sigma_n^-2 Kuf Kuf^T              (m x m)
+    alpha   = sigma_n^-2 Sigma^-1 Kuf y               (m,)
+    mean(z) = Kzu alpha
+    var(z)  = Kzz - Kzu Kuu^-1 Kuz + Kzu Sigma^-1 Kuz
+
+Cost: O(N m^2) to build factors, O(m^2) per predict — N = 10k training points
+with m = 128-512 inducing points stays real-time inside the MPC loop.
+
+TPU-first: the only O(N) contractions are ``Kuf Kuf^T`` and ``Kuf y`` — pure
+matmuls that XLA tiles onto the MXU, and exactly the terms that shard over a
+device mesh with a single psum each (see parallel/sharded_gp.py). Masked padding
+works as in the dense GP: masked columns of Kuf are zeroed, so they contribute
+nothing to either contraction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from safe_exploration_tpu.models.kernels import gram, init_kernel_params, kernel_diag
+
+__all__ = [
+    "SparseGP",
+    "sparse_gp_init",
+    "sparse_gp_refit",
+    "sparse_gp_update_data",
+    "sparse_gp_predict",
+    "sparse_gp_elbo",
+    "sparse_gp_fit",
+]
+
+_JITTER = 1e-6
+
+
+@struct.dataclass
+class SparseGP:
+    """Inducing-point multi-output GP state (pytree)."""
+
+    kern_types: tuple = struct.field(pytree_node=False)
+    z: jax.Array          # (m, d_in) inducing inputs (shared across output dims)
+    x: jax.Array          # (n_max, d_in) padded training inputs
+    y: jax.Array          # (n_max, e)
+    mask: jax.Array       # (n_max,)
+    params: tuple         # per-dim kernel params
+    log_noise: jax.Array  # (e,)
+    luu: jax.Array        # (e, m, m) chol(Kuu + jitter)
+    lsig: jax.Array       # (e, m, m) chol(Sigma)
+    alpha: jax.Array      # (e, m) predictive-mean weights
+    head: jax.Array       # () int32 ring-buffer pointer
+
+    @property
+    def n_max(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_inducing(self) -> int:
+        return self.z.shape[0]
+
+    @property
+    def n_out(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def n_points(self) -> jax.Array:
+        return jnp.sum(self.mask).astype(jnp.int32)
+
+
+def _factors_dim(kt, params, z, x, mask, y_d, noise_var):
+    """(luu, lsig, alpha) for one output dim."""
+    m = z.shape[0]
+    kuu = gram(kt, params, z, z) + _JITTER * jnp.eye(m, dtype=z.dtype)
+    kuf = gram(kt, params, z, x) * mask[None, :]  # (m, n)
+    sigma = kuu + (kuf @ kuf.T) / noise_var
+    luu = jnp.linalg.cholesky(kuu)
+    lsig = jnp.linalg.cholesky(sigma + _JITTER * jnp.eye(m, dtype=z.dtype))
+    rhs = kuf @ (mask * y_d) / noise_var
+    w = jax.scipy.linalg.solve_triangular(lsig, rhs, lower=True)
+    alpha = jax.scipy.linalg.solve_triangular(lsig.T, w, lower=False)
+    return luu, lsig, alpha
+
+
+def sparse_gp_refit(sgp: SparseGP) -> SparseGP:
+    """Rebuild (luu, lsig, alpha) for the current data + hyperparameters."""
+    luus, lsigs, alphas = [], [], []
+    for d in range(sgp.n_out):
+        noise_var = jnp.exp(2.0 * sgp.log_noise[d]) + _JITTER
+        luu, lsig, alpha = _factors_dim(
+            sgp.kern_types[d], sgp.params[d], sgp.z, sgp.x, sgp.mask,
+            sgp.y[:, d], noise_var,
+        )
+        luus.append(luu)
+        lsigs.append(lsig)
+        alphas.append(alpha)
+    return sgp.replace(
+        luu=jnp.stack(luus), lsig=jnp.stack(lsigs), alpha=jnp.stack(alphas)
+    )
+
+
+def sparse_gp_init(
+    kern_types: tuple,
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    n_max: int,
+    n_inducing: int,
+    log_noise: float | jax.Array = -2.3,
+    z: jax.Array | None = None,
+    params: tuple | None = None,
+) -> SparseGP:
+    """Build a sparse GP; inducing inputs default to an even subsample of the
+    initial data (padded with small jittered copies if data < m)."""
+    n, d_in = x.shape
+    e = y.shape[1]
+    dtype = x.dtype
+    if z is None:
+        idx = jnp.linspace(0, max(n - 1, 0), n_inducing).astype(jnp.int32)
+        z = x[idx] + 1e-4 * jnp.sin(
+            jnp.arange(n_inducing, dtype=dtype)[:, None]
+            * jnp.arange(1, d_in + 1, dtype=dtype)[None, :]
+        )
+    xp = jnp.zeros((n_max, d_in), dtype).at[:n].set(x)
+    yp = jnp.zeros((n_max, e), dtype).at[:n].set(y)
+    mask = jnp.zeros((n_max,), dtype).at[:n].set(1.0)
+    if params is None:
+        params = tuple(init_kernel_params(kt, d_in, dtype) for kt in kern_types)
+    m = z.shape[0]
+    sgp = SparseGP(
+        kern_types=tuple(kern_types),
+        z=z, x=xp, y=yp, mask=mask, params=params,
+        log_noise=jnp.broadcast_to(jnp.asarray(log_noise, dtype), (e,)),
+        luu=jnp.zeros((e, m, m), dtype),
+        lsig=jnp.zeros((e, m, m), dtype),
+        alpha=jnp.zeros((e, m), dtype),
+        head=jnp.asarray(n, jnp.int32),
+    )
+    return sparse_gp_refit(sgp)
+
+
+def sparse_gp_update_data(
+    sgp: SparseGP, x_new: jax.Array, y_new: jax.Array, *, replace_old: bool = True
+) -> SparseGP:
+    """Append a transition batch (ring buffer) and refit factors — O(N m^2)."""
+    k = x_new.shape[0]
+    idx = (sgp.head + jnp.arange(k, dtype=jnp.int32)) % sgp.n_max
+    if not replace_old:
+        keep = (sgp.head + jnp.arange(k, dtype=jnp.int32)) < sgp.n_max
+        idx = jnp.minimum(sgp.head + jnp.arange(k, dtype=jnp.int32), sgp.n_max - 1)
+    else:
+        keep = jnp.ones((k,), bool)
+    x = sgp.x.at[idx].set(jnp.where(keep[:, None], x_new, sgp.x[idx]))
+    y = sgp.y.at[idx].set(jnp.where(keep[:, None], y_new, sgp.y[idx]))
+    mask = sgp.mask.at[idx].set(jnp.where(keep, 1.0, sgp.mask[idx]))
+    head = (sgp.head + k) % sgp.n_max if replace_old else jnp.minimum(
+        sgp.head + k, sgp.n_max
+    )
+    return sparse_gp_refit(sgp.replace(x=x, y=y, mask=mask, head=head))
+
+
+def sparse_gp_predict(sgp: SparseGP, zq: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Posterior mean and latent variance at one input zq (d_in,) -> ((e,), (e,))."""
+    means, vars_ = [], []
+    for d in range(sgp.n_out):
+        kt, params = sgp.kern_types[d], sgp.params[d]
+        kzu = gram(kt, params, zq[None, :], sgp.z)[0]  # (m,)
+        mean = jnp.dot(kzu, sgp.alpha[d])
+        v_uu = jax.scipy.linalg.solve_triangular(sgp.luu[d], kzu, lower=True)
+        v_sig = jax.scipy.linalg.solve_triangular(sgp.lsig[d], kzu, lower=True)
+        kzz = kernel_diag(kt, params, zq[None, :])[0]
+        var = kzz - jnp.dot(v_uu, v_uu) + jnp.dot(v_sig, v_sig)
+        means.append(mean)
+        vars_.append(jnp.maximum(var, 1e-12))
+    return jnp.stack(means), jnp.stack(vars_)
+
+
+def sparse_gp_elbo(params: tuple, log_noise: jax.Array, sgp: SparseGP) -> jax.Array:
+    """Negative Titsias VFE bound (to MINIMIZE), summed over output dims.
+
+    -ELBO = 0.5 [ N log(2 pi sigma^2) + 2 sum log diag(LB) + sigma^-2 y^T y
+                  - c^T c + sigma^-2 (tr(Kff) - tr(Qff)) ]
+    with A = Luu^-1 Kuf / sigma, B = I + A A^T, c = LB^-1 A y / sigma.
+    """
+    total = jnp.asarray(0.0, sgp.x.dtype)
+    n_eff = jnp.sum(sgp.mask)
+    m = sgp.n_inducing
+    eye = jnp.eye(m, dtype=sgp.x.dtype)
+    for d in range(sgp.n_out):
+        kt = sgp.kern_types[d]
+        noise_var = jnp.exp(2.0 * log_noise[d]) + _JITTER
+        kuu = gram(kt, params[d], sgp.z, sgp.z) + _JITTER * eye
+        kuf = gram(kt, params[d], sgp.z, sgp.x) * sgp.mask[None, :]
+        luu = jnp.linalg.cholesky(kuu)
+        a = jax.scipy.linalg.solve_triangular(luu, kuf, lower=True) / jnp.sqrt(noise_var)
+        bmat = eye + a @ a.T
+        lb = jnp.linalg.cholesky(bmat)
+        yd = sgp.mask * sgp.y[:, d]
+        c = jax.scipy.linalg.solve_triangular(
+            lb, a @ yd, lower=True
+        ) / jnp.sqrt(noise_var)
+        tr_kff = jnp.sum(kernel_diag(kt, params[d], sgp.x) * sgp.mask)
+        tr_qff = jnp.sum(a * a) * noise_var
+        total = total + 0.5 * (
+            n_eff * jnp.log(2.0 * jnp.pi * noise_var)
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
+            + jnp.dot(yd, yd) / noise_var
+            - jnp.dot(c, c)
+            + (tr_kff - tr_qff) / noise_var
+        )
+    return total
+
+
+def sparse_gp_fit(sgp: SparseGP, *, iters: int = 200, lr: float = 5e-2) -> SparseGP:
+    """Hyperparameter fit by Adam on the negative VFE bound (fixed budget,
+    jit-able — replaces GPy's L-BFGS on the sparse marginal likelihood)."""
+    import optax
+
+    opt = optax.adam(lr)
+
+    def loss(theta):
+        return sparse_gp_elbo(theta[0], theta[1], sgp)
+
+    theta0 = (sgp.params, sgp.log_noise)
+    state0 = opt.init(theta0)
+
+    def step(carry, _):
+        theta, opt_state = carry
+        g = jax.grad(loss)(theta)
+        updates, opt_state = opt.update(g, opt_state)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, opt_state), None
+
+    (theta, _), _ = jax.lax.scan(step, (theta0, state0), None, length=iters)
+    return sparse_gp_refit(sgp.replace(params=theta[0], log_noise=theta[1]))

@@ -78,6 +78,17 @@ def ssm_predict_jac(ssm: GPSSM, x: jax.Array, u: jax.Array):
     return mu, var, jac_mu[:, :n_s], jac_mu[:, n_s:]
 
 
+def ssm_noise_var(ssm: GPSSM) -> jax.Array:
+    """Observation-noise variance per output dim.
+
+    The GP is trained on noisy residuals, so its fitted noise subsumes plant
+    process noise; the reachability confidence intervals must add it to the
+    latent variance (GPy's ``predict`` includes likelihood noise by default —
+    the reference's tubes therefore cover process noise; ours must too).
+    """
+    return jnp.exp(2.0 * ssm.gp.log_noise)
+
+
 def ssm_update(
     ssm: GPSSM, x: jax.Array, u: jax.Array, y: jax.Array, *, replace_old: bool = True
 ) -> GPSSM:
@@ -92,3 +103,39 @@ def ssm_update(
 def ssm_fit(ssm: GPSSM, *, iters: int = 200, lr: float = 5e-2) -> GPSSM:
     """Re-optimize GP hyperparameters (the per-episode ``opt_hyp=True`` path)."""
     return ssm.replace(gp=gp_mod.gp_fit(ssm.gp, iters=iters, lr=lr))
+
+
+def estimate_lipschitz(
+    ssm: GPSSM, z_points: jax.Array, *, factor: float = 2.0,
+    l_mu_min: float = 1e-4, l_sigma_min: float = 1e-4,
+) -> GPSSM:
+    """Data-driven Lipschitz constants for the safety remainders (SURVEY.md §7
+    hard-part 5).
+
+    The reference ships ``l_mu`` / ``l_sigma`` as hand-tuned config constants.
+    Here they are estimated from the FITTED posterior: per output dim,
+    ``l_mu_d = factor * max_z ||Hess mu_d(z)||_2`` and
+    ``l_sigma_d = factor * max_z ||grad sigma_d(z)||_2`` over a set of probe
+    points (training inputs + the region of operation). ``factor`` > 1 restores
+    conservativeness; floors keep the remainder bounds non-degenerate.
+
+    Over-conservative constants make the ellipsoid tube grow ~exponentially in
+    the horizon and the NLP infeasible; this estimator keeps the bound tied to
+    the model actually in use.
+    """
+    e = ssm.gp.n_out
+
+    def per_point(z):
+        hn, gn = [], []
+        for d in range(e):
+            hess = jax.hessian(lambda zz: gp_mod.gp_predict(ssm.gp, zz)[0][d])(z)
+            # spectral norm of the symmetric Hessian via eigvalsh (d_in is tiny)
+            hn.append(jnp.max(jnp.abs(jnp.linalg.eigvalsh(hess))))
+            grad = jax.grad(lambda zz: jnp.sqrt(gp_mod.gp_predict(ssm.gp, zz)[1][d]))(z)
+            gn.append(jnp.linalg.norm(grad))
+        return jnp.stack(hn), jnp.stack(gn)
+
+    hess_norms, grad_norms = jax.vmap(per_point)(z_points)  # (m, e)
+    l_mu = jnp.maximum(factor * jnp.max(hess_norms, axis=0), l_mu_min)
+    l_sigma = jnp.maximum(factor * jnp.max(grad_norms, axis=0), l_sigma_min)
+    return ssm.replace(l_mu=l_mu, l_sigma=l_sigma)

@@ -1,0 +1,11 @@
+"""Multi-chip scale-out (mesh/sharding). The reference is single-process CPU
+(SURVEY.md §2.9); these are the TPU-native parallelism deliverables."""
+
+from safe_exploration_tpu.parallel.mesh import (
+    EPISODE_AXIS,
+    batched_solves,
+    make_mesh,
+    shard_batch,
+)
+
+__all__ = ["EPISODE_AXIS", "make_mesh", "shard_batch", "batched_solves"]

@@ -26,7 +26,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from safe_exploration_tpu.models.ssm import GPSSM, ssm_predict, ssm_predict_jac
+from safe_exploration_tpu.models.ssm import (
+    GPSSM,
+    ssm_noise_var,
+    ssm_predict,
+    ssm_predict_jac,
+)
 from safe_exploration_tpu.ops.ellipsoid import (
     ellipsoid_from_rectangle,
     sum_two_ellipsoids,
@@ -57,7 +62,9 @@ def onestep_reachability_point(
     """
     mu, var = ssm_predict(ssm, p, k_ff)
     p_next = a @ p + b @ k_ff + mu
-    q_next = ellipsoid_from_rectangle(c_safety * jnp.sqrt(var))
+    # predictive (latent + observation-noise) std: the tube must cover process
+    # noise, which the fitted GP noise subsumes (see ssm_noise_var docstring)
+    q_next = ellipsoid_from_rectangle(c_safety * jnp.sqrt(var + ssm_noise_var(ssm)))
     return p_next, q_next, var
 
 
@@ -92,7 +99,9 @@ def onestep_reachability(
 
     u_mu, u_sigma = compute_remainder_overapproximations(q, k_fb, ssm.l_mu, ssm.l_sigma)
     q_taylor = ellipsoid_from_rectangle(u_mu)
-    q_conf = ellipsoid_from_rectangle(c_safety * (jnp.sqrt(var) + u_sigma))
+    q_conf = ellipsoid_from_rectangle(
+        c_safety * (jnp.sqrt(var + ssm_noise_var(ssm)) + u_sigma)
+    )
 
     zero = jnp.zeros_like(p)
     p_sum, q_sum = sum_two_ellipsoids(p_next, q_lin, zero, q_conf)

@@ -17,7 +17,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from safe_exploration_tpu.models.ssm import GPSSM, ssm_predict, ssm_predict_jac
+from safe_exploration_tpu.models.ssm import (
+    GPSSM,
+    ssm_noise_var,
+    ssm_predict,
+    ssm_predict_jac,
+)
 
 __all__ = ["one_step_mean_equivalent", "one_step_taylor", "multi_step_propagation"]
 
@@ -37,7 +42,7 @@ def one_step_mean_equivalent(
     """
     mu, var = ssm_predict(ssm, p, u)
     p_next = a @ p + b @ u + mu
-    sigma_next = sigma + jnp.diag(var)
+    sigma_next = sigma + jnp.diag(var + ssm_noise_var(ssm))
     return p_next, sigma_next, var
 
 
@@ -59,7 +64,7 @@ def one_step_taylor(
     h = a + j_x
     if k_fb is not None:
         h = h + (b + j_u) @ k_fb
-    sigma_next = h @ sigma @ h.T + jnp.diag(var)
+    sigma_next = h @ sigma @ h.T + jnp.diag(var + ssm_noise_var(ssm))
     return p_next, sigma_next, var
 
 

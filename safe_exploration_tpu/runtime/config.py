@@ -1,0 +1,199 @@
+"""Experiment configuration: dataclass recipes + factories.
+
+Parity: reference ``utils_config.py`` + ``experiments/journal_experiment_configs``
+(SURVEY.md §2.8/§5.6): a config object carries the WHOLE constructor recipe for
+environment, SSM and solver. Here configs are plain dataclasses (JSON-able,
+hashable enough for jit closures) registered by name, replacing the reference's
+import-a-python-class-file machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+from safe_exploration_tpu.envs import (
+    Env,
+    linearize_discretize,
+    make_cartpole,
+    make_pendulum,
+    make_quadrotor,
+)
+from safe_exploration_tpu.ops.linalg import dlqr
+from safe_exploration_tpu.solvers.cem import CemConfig, cem_plan
+from safe_exploration_tpu.solvers.costs import exploration_cost, tracking_cost
+from safe_exploration_tpu.solvers.safempc import SafeMPCConfig, make_safempc
+
+__all__ = ["ExperimentConfig", "CONFIGS", "build_experiment", "register_config"]
+
+ENV_FACTORIES: dict[str, Callable[..., Env]] = {
+    "pendulum": make_pendulum,
+    "cartpole": make_cartpole,
+    "quadrotor": make_quadrotor,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """One experiment = env + SSM + solver + runtime schedule (SURVEY.md §2.8)."""
+
+    name: str = "pendulum_episode"
+    # task: "episodic" | "exploration" | "uncertainty" (reference main.py scenarios)
+    task: str = "episodic"
+    env: str = "pendulum"
+    solver: str = "cem"              # "cem" | "sqp"
+    objective: str = "tracking"      # "tracking" | "exploration"
+
+    # SSM
+    kern_types: tuple = ("rbf", "rbf")
+    n_max: int = 512                 # padded GP capacity
+    l_mu: float = 0.5                # Lipschitz const of GP mean gradient (per dim)
+    l_sigma: float = 0.25            # Lipschitz const of predictive std (per dim)
+    log_noise: float = -3.0
+
+    # safe-MPC
+    n_safe: int = 5                  # safety horizon
+    n_perf: int = 0                  # performance horizon (0 = none)
+    perf_trajectory: str = "taylor"  # "taylor" | "mean_equivalent"
+    c_safety: float = 2.0            # beta confidence scaling
+    lqr_w_x: float = 1.0
+    lqr_w_u: float = 1.0
+
+    # CEM knobs
+    cem_samples: int = 128
+    cem_elites: int = 16
+    cem_iterations: int = 6
+
+    # SQP knobs
+    sqp_outer: int = 12
+    sqp_inner: int = 6
+
+    # runtime schedule
+    n_ep: int = 6
+    n_steps: int = 50
+    n_init_samples: int = 40
+    hyp_iters: int = 120
+    seed: int = 0
+
+
+def _kern_tuple(cfg: ExperimentConfig, n_s: int) -> tuple:
+    kt = tuple(cfg.kern_types)
+    if len(kt) == 1:
+        kt = kt * n_s
+    if len(kt) != n_s:
+        raise ValueError(f"kern_types has {len(kt)} entries for n_s={n_s}")
+    return kt
+
+
+def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
+    """Wire the full experiment from a config (the reference's config-factory
+    pattern): returns env, prior (a, b), k_fb, planner, safempc functions, cost
+    and SSM hyper-bundles, ready for the runners."""
+    env = ENV_FACTORIES[cfg.env](dtype=dtype)
+    spec = env.spec
+    mpc_cfg = SafeMPCConfig(
+        n_safe=cfg.n_safe, c_safety=cfg.c_safety,
+        lqr_w_x=cfg.lqr_w_x, lqr_w_u=cfg.lqr_w_u,
+    )
+    a, b = linearize_discretize(env)
+    k_lqr, _ = dlqr(
+        a, b,
+        cfg.lqr_w_x * jnp.eye(spec.n_s, dtype=dtype),
+        cfg.lqr_w_u * jnp.eye(spec.n_u, dtype=dtype),
+    )
+    k_fb = -k_lqr
+
+    if cfg.objective == "tracking":
+        cost_fn = tracking_cost(spec.target)
+    elif cfg.objective == "exploration":
+        cost_fn = exploration_cost()
+    else:
+        raise ValueError(f"unknown objective {cfg.objective}")
+
+    if cfg.solver == "cem":
+        cem_cfg = CemConfig(
+            n_safe=cfg.n_safe,
+            n_samples=cfg.cem_samples,
+            n_elites=cfg.cem_elites,
+            n_iterations=cfg.cem_iterations,
+        )
+
+        def planner(key, ssm, x0, warm_mean):
+            return cem_plan(
+                key, ssm, x0, k_fb, a, b, spec.u_min, spec.u_max,
+                spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+                cfg.c_safety, cost_fn, cem_cfg, warm_mean,
+            )
+
+    elif cfg.solver == "sqp":
+        from safe_exploration_tpu.solvers.sqp import SqpConfig, make_sqp_planner
+
+        planner = make_sqp_planner(
+            env, k_fb, a, b, cost_fn,
+            SqpConfig(
+                n_safe=cfg.n_safe, c_safety=cfg.c_safety,
+                n_outer=cfg.sqp_outer, n_inner=cfg.sqp_inner,
+            ),
+        )
+    else:
+        raise ValueError(f"unknown solver {cfg.solver}")
+
+    init_state, get_action, _, _ = make_safempc(env, mpc_cfg, planner)
+    kern_types = _kern_tuple(cfg, spec.n_s)
+    return {
+        "env": env,
+        "a": a,
+        "b": b,
+        "k_fb": k_fb,
+        "planner": planner,
+        "init_state": init_state,
+        "get_action": get_action,
+        "cost_fn": cost_fn,
+        "kern_types": kern_types,
+        "l_mu": jnp.full((spec.n_s,), cfg.l_mu, dtype),
+        "l_sigma": jnp.full((spec.n_s,), cfg.l_sigma, dtype),
+        "cfg": cfg,
+    }
+
+
+# --- named config registry (parity: journal_experiment_configs) ---------------
+
+CONFIGS: dict[str, ExperimentConfig] = {}
+
+
+def register_config(cfg: ExperimentConfig) -> ExperimentConfig:
+    CONFIGS[cfg.name] = cfg
+    return cfg
+
+
+# BASELINE.json config 1: pendulum, RBF GP, H=5, terminal-set constraint
+register_config(ExperimentConfig(name="pendulum_episode"))
+# BASELINE.json config 1 solved by the SQP instead of CEM
+register_config(ExperimentConfig(name="pendulum_episode_sqp", solver="sqp"))
+# exploration task (SURVEY.md §3.2)
+register_config(
+    ExperimentConfig(
+        name="pendulum_exploration", task="exploration", objective="exploration",
+        n_safe=3, n_steps=1,
+    )
+)
+# BASELINE.json config 2: cart-pole, H=10, performance trajectory
+register_config(
+    ExperimentConfig(
+        name="cartpole_episode", env="cartpole", kern_types=("rbf",),
+        n_safe=10, n_perf=10, c_safety=2.0, cem_samples=192,
+    )
+)
+# BASELINE.json config 5: 6D quadrotor, joint safety+performance, long horizon
+register_config(
+    ExperimentConfig(
+        name="quadrotor_episode", env="quadrotor", kern_types=("rbf",),
+        n_safe=8, n_perf=12, cem_samples=256,
+    )
+)
+# uncertainty-estimation scenario (SURVEY.md §2.8)
+register_config(
+    ExperimentConfig(name="pendulum_uncertainty", task="uncertainty", n_steps=20)
+)

@@ -1,0 +1,196 @@
+"""Episodic plan -> act -> update-GP loop — the experiment runtime.
+
+Parity: reference ``episode_runner.py::run_episodic`` (SURVEY.md §2.8, §3.1):
+collect initial safe samples, then for each episode run ``n_steps`` of
+``safempc.get_action`` / ``env.step`` collecting residual transitions, append
+them to the SSM and optionally re-fit hyperparameters; log per-episode metrics.
+
+TPU-first structure: the whole per-episode rollout is ONE ``lax.scan`` jitted
+end-to-end (planner solves included), so an episode is a single device program;
+the episode loop stays in Python only to interleave logging and (optional)
+hyperopt. ``rollout_episode`` is also the unit that gets vmapped/sharded across
+256 parallel episodes (BASELINE config 3, see parallel/).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from safe_exploration_tpu.envs.base import Env, env_reset, env_step
+from safe_exploration_tpu.models.ssm import (
+    GPSSM,
+    estimate_lipschitz,
+    make_gp_ssm,
+    ssm_fit,
+    ssm_update,
+)
+from safe_exploration_tpu.solvers.safempc import SafeMPCState
+
+__all__ = ["collect_initial_data", "rollout_episode", "run_episodic"]
+
+
+def collect_initial_data(
+    env: Env,
+    key: jax.Array,
+    n_samples: int,
+    a: jax.Array,
+    b: jax.Array,
+    k_fb: jax.Array,
+    *,
+    u_perturb: float = 0.3,
+):
+    """Gather initial safe transitions with the stabilizing LQR + small random
+    perturbations from states near the target (parity: the reference's
+    ``n_rollouts_init`` random-safe-control phase, SURVEY.md §2.8).
+
+    Returns (x (n, n_s), u (n, n_u), residuals (n, n_s)).
+    """
+    spec = env.spec
+    kx, ku, kn = jax.random.split(key, 3)
+    # states sampled inside a shrunken safe box
+    box = spec.h_safe[: spec.n_s]  # upper bounds of the safe box
+    xs = (
+        jax.random.uniform(kx, (n_samples, spec.n_s), spec.init_m.dtype, -1.0, 1.0)
+        * 0.5
+        * box
+    )
+    u_noise = (
+        jax.random.uniform(ku, (n_samples, spec.n_u), spec.init_m.dtype, -1.0, 1.0)
+        * u_perturb
+        * spec.u_max
+    )
+    us = xs @ k_fb.T + u_noise
+    us = jnp.clip(us, spec.u_min, spec.u_max)
+    keys = jax.random.split(kn, n_samples)
+    u_app, x_next = jax.vmap(lambda k, x, u: env_step(env, k, x, u))(keys, xs, us)
+    resid = x_next - (xs @ a.T + u_app @ b.T)
+    return xs, u_app, resid
+
+
+def rollout_episode(
+    env: Env,
+    get_action: Callable,
+    key: jax.Array,
+    mpc_state: SafeMPCState,
+    ssm: GPSSM,
+    x0: jax.Array,
+    n_steps: int,
+    a: jax.Array,
+    b: jax.Array,
+):
+    """One full episode as a single ``lax.scan`` (jit-compiled device program).
+
+    Returns (traj dict, final mpc_state). traj carries per-step
+    (x, u, x_next, residual, feasible, violation, constraint_ok).
+    """
+    spec = env.spec
+    keys = jax.random.split(key, n_steps)
+
+    def body(carry, k):
+        x, mstate = carry
+        k_plan, k_step = jax.random.split(k)
+        u, mstate, info = get_action(k_plan, mstate, ssm, x)
+        u_app, x_next = env_step(env, k_step, x, u)
+        resid = x_next - (a @ x + b @ u_app)
+        constraint_ok = jnp.all(spec.h_mat_obs @ x_next - spec.h_obs <= 0.0)
+        out = {
+            "x": x,
+            "u": u_app,
+            "x_next": x_next,
+            "resid": resid,
+            "feasible": info["feasible"],
+            "violation": info["violation"],
+            "constraint_ok": constraint_ok,
+        }
+        return (x_next, mstate), out
+
+    (x_fin, mstate), traj = jax.lax.scan(body, (x0, mpc_state), keys)
+    return traj, mstate, x_fin
+
+
+def run_episodic(
+    env: Env,
+    init_state: Callable,
+    get_action: Callable,
+    a: jax.Array,
+    b: jax.Array,
+    k_fb: jax.Array,
+    *,
+    key: jax.Array,
+    kern_types: tuple,
+    n_max: int,
+    l_mu: jax.Array,
+    l_sigma: jax.Array,
+    n_ep: int = 5,
+    n_steps: int = 50,
+    n_init_samples: int = 40,
+    opt_hyp_every: int = 1,
+    hyp_iters: int = 120,
+    log_noise: float = -3.0,
+    calibrate_lipschitz: bool = True,
+    metrics: Any = None,
+) -> dict:
+    """The full episodic safe-learning experiment.
+
+    Returns a summary dict with per-episode series (parity with the reference's
+    sacred metric names where they are known: safety violations, feasibility
+    rate, model error — SURVEY.md §5.5).
+    """
+    k_init, key = jax.random.split(key)
+    xs, us, resid = collect_initial_data(env, k_init, n_init_samples, a, b, k_fb)
+    ssm = make_gp_ssm(
+        kern_types, xs, us, resid,
+        n_max=n_max, l_mu=l_mu, l_sigma=l_sigma, log_noise=log_noise,
+    )
+
+    def fit_and_calibrate(s: GPSSM) -> GPSSM:
+        s = ssm_fit(s, iters=hyp_iters)
+        if calibrate_lipschitz:
+            # probe at the (padded) training inputs; padding rows probe the origin
+            s = estimate_lipschitz(s, s.gp.x)
+        return s
+
+    fit_fn = jax.jit(fit_and_calibrate)
+    ssm = fit_fn(ssm)
+
+    rollout = jax.jit(
+        partial(rollout_episode, env, get_action, n_steps=n_steps, a=a, b=b),
+        static_argnames=(),
+    )
+
+    series: dict[str, list] = {
+        "violations": [], "feasibility_rate": [], "model_error": [],
+        "mean_cost": [], "episode_time_s": [], "n_data": [],
+    }
+    for ep in range(n_ep):
+        k_reset, k_roll, key = jax.random.split(key, 3)
+        x0 = env_reset(env, k_reset)
+        t0 = time.perf_counter()
+        traj, _, _ = rollout(k_roll, init_state(), ssm, x0)
+        traj = jax.tree.map(lambda x: jax.device_get(x), traj)
+        dt_ep = time.perf_counter() - t0
+
+        # model error: GP prediction error on this episode's fresh transitions
+        pred_err = float(jnp.mean(jnp.abs(traj["resid"])))
+        series["violations"].append(int((~traj["constraint_ok"]).sum()))
+        series["feasibility_rate"].append(float(traj["feasible"].mean()))
+        series["model_error"].append(pred_err)
+        series["mean_cost"].append(float(jnp.mean(jnp.sum(traj["x"] ** 2, axis=-1))))
+        series["episode_time_s"].append(dt_ep)
+        series["n_data"].append(int(ssm.gp.n_points))
+
+        ssm = ssm_update(ssm, traj["x"], traj["u"], traj["resid"])
+        if opt_hyp_every and (ep + 1) % opt_hyp_every == 0:
+            ssm = fit_fn(ssm)
+
+        if metrics is not None:
+            for name, vals in series.items():
+                metrics.log_scalar(name, vals[-1], step=ep)
+            metrics.flush()
+
+    return {"series": series, "ssm": ssm}

@@ -1,0 +1,119 @@
+"""Safe active-learning (exploration) runner.
+
+Parity: reference ``exploration_runner.py::run_exploration`` (SURVEY.md §2.8,
+§3.2): repeatedly solve for the control sequence maximizing predictive
+uncertainty subject to (multi-step) tube safety, execute the first control on the
+plant, append the observed transition to the GP, and track information gain and
+model error.
+
+The information-gain metric is the exact GP quantity
+I(y; f) = 0.5 * sum_d log(1 + sigma_d^2(z) / sigma_n_d^2) evaluated at the probed
+input — the greedy-MI objective of safe active learning.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from safe_exploration_tpu.envs.base import Env, env_reset, env_step
+from safe_exploration_tpu.models.ssm import (
+    estimate_lipschitz,
+    make_gp_ssm,
+    ssm_fit,
+    ssm_predict,
+    ssm_update,
+)
+from safe_exploration_tpu.runtime.episode import collect_initial_data
+
+__all__ = ["run_exploration"]
+
+
+def run_exploration(
+    env: Env,
+    init_state: Callable,
+    get_action: Callable,
+    a: jax.Array,
+    b: jax.Array,
+    k_fb: jax.Array,
+    *,
+    key: jax.Array,
+    kern_types: tuple,
+    n_max: int,
+    l_mu: jax.Array,
+    l_sigma: jax.Array,
+    n_iterations: int = 40,
+    n_init_samples: int = 20,
+    opt_hyp_every: int = 10,
+    hyp_iters: int = 120,
+    log_noise: float = -3.0,
+    metrics: Any = None,
+) -> dict:
+    """Static safe exploration: the planner's objective must be the exploration
+    (max-predictive-std) cost — wire with ``objective="exploration"``.
+
+    Each iteration: plan from the current state (safety tube constrained),
+    execute the first control, observe the transition, update the GP (incremental
+    refit), periodically re-fit hyperparameters. Returns per-iteration series of
+    information gain, predictive std at the probe, and model error.
+    """
+    k_init, k_reset, key = jax.random.split(key, 3)
+    xs, us, resid = collect_initial_data(env, k_init, n_init_samples, a, b, k_fb)
+    ssm = make_gp_ssm(
+        kern_types, xs, us, resid, n_max=n_max,
+        l_mu=l_mu, l_sigma=l_sigma, log_noise=log_noise,
+    )
+
+    def fit_and_calibrate(s):
+        s = ssm_fit(s, iters=hyp_iters)
+        return estimate_lipschitz(s, s.gp.x)
+
+    fit_fn = jax.jit(fit_and_calibrate)
+    ssm = fit_fn(ssm)
+
+    @jax.jit
+    def one_iter(k, mstate, s, x):
+        k_plan, k_step = jax.random.split(k)
+        u, mstate, info = get_action(k_plan, mstate, s, x)
+        mu, var = ssm_predict(s, x, u)
+        u_app, x_next = env_step(env, k_step, x, u)
+        resid_t = x_next - (a @ x + b @ u_app)
+        # exact greedy information gain of the probed point
+        noise_var = jnp.exp(2.0 * s.gp.log_noise)
+        info_gain = 0.5 * jnp.sum(jnp.log1p(var / noise_var))
+        model_err = jnp.linalg.norm(resid_t - mu)
+        s = ssm_update(s, x[None], u_app[None], resid_t[None])
+        constraint_ok = jnp.all(env.spec.h_mat_obs @ x_next - env.spec.h_obs <= 0.0)
+        out = {
+            "info_gain": info_gain,
+            "pred_std_sum": jnp.sum(jnp.sqrt(var)),
+            "model_error": model_err,
+            "feasible": info["feasible"],
+            "constraint_ok": constraint_ok,
+        }
+        return u_app, x_next, mstate, s, out
+
+    x = env_reset(env, k_reset)
+    mstate = init_state()
+    series: dict[str, list] = {
+        "info_gain": [], "pred_std_sum": [], "model_error": [],
+        "feasibility_rate": [], "violations": [], "n_data": [],
+    }
+    for it in range(n_iterations):
+        k_it, key = jax.random.split(key)
+        _, x, mstate, ssm, out = one_iter(k_it, mstate, ssm, x)
+        series["info_gain"].append(float(out["info_gain"]))
+        series["pred_std_sum"].append(float(out["pred_std_sum"]))
+        series["model_error"].append(float(out["model_error"]))
+        series["feasibility_rate"].append(float(out["feasible"]))
+        series["violations"].append(int(not bool(out["constraint_ok"])))
+        series["n_data"].append(int(ssm.gp.n_points))
+        if opt_hyp_every and (it + 1) % opt_hyp_every == 0:
+            ssm = fit_fn(ssm)
+        if metrics is not None:
+            metrics.log_dict({k: v[-1] for k, v in series.items()}, step=it)
+            metrics.flush()
+    return {"series": series, "ssm": ssm}

@@ -1,0 +1,170 @@
+"""Experiment CLI — entry point of the framework.
+
+Parity: reference ``main.py`` (SURVEY.md §2.8): a CLI that selects a named
+scenario config + task type and dispatches to the matching runner, recording
+config/metrics/artifacts to an output directory. The reference uses sacred
+(``python -m safe_exploration.main with <config>``); here it is a plain argparse
+CLI with the dataclass config registry:
+
+    python -m safe_exploration_tpu.runtime.main --config pendulum_episode \
+        [--platform cpu] [--out results/] [--set n_ep=3 n_steps=20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+__all__ = ["main", "run_experiment"]
+
+
+def _apply_overrides(cfg, overrides: list[str]):
+    """`--set key=value ...` overrides on the frozen dataclass config."""
+    if not overrides:
+        return cfg
+    updates = {}
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    for item in overrides:
+        k, _, v = item.partition("=")
+        if k not in fields:
+            raise SystemExit(f"unknown config field: {k}")
+        ftype = type(getattr(cfg, k))
+        if ftype is bool:
+            updates[k] = v.lower() in ("1", "true", "yes")
+        elif ftype is tuple:
+            updates[k] = tuple(v.split(","))
+        else:
+            updates[k] = ftype(v)
+    return dataclasses.replace(cfg, **updates)
+
+
+def run_experiment(cfg, *, out_dir: str | None = None, dtype=None) -> dict:
+    """Build and run one experiment (importable API; the CLI wraps this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from safe_exploration_tpu.runtime.config import build_experiment
+    from safe_exploration_tpu.runtime.episode import run_episodic
+    from safe_exploration_tpu.runtime.exploration import run_exploration
+    from safe_exploration_tpu.runtime.metrics import AggregatedMetrics
+
+    dtype = dtype or jnp.float32
+    metrics = AggregatedMetrics(out_dir, run_name=cfg.name)
+    exp = build_experiment(cfg, dtype=dtype)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    common = dict(
+        key=key, kern_types=exp["kern_types"], n_max=cfg.n_max,
+        l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], hyp_iters=cfg.hyp_iters,
+        metrics=metrics,
+    )
+    t0 = time.perf_counter()
+    if cfg.task == "episodic":
+        out = run_episodic(
+            exp["env"], exp["init_state"], exp["get_action"],
+            exp["a"], exp["b"], exp["k_fb"],
+            n_ep=cfg.n_ep, n_steps=cfg.n_steps,
+            n_init_samples=cfg.n_init_samples, **common,
+        )
+    elif cfg.task == "exploration":
+        out = run_exploration(
+            exp["env"], exp["init_state"], exp["get_action"],
+            exp["a"], exp["b"], exp["k_fb"],
+            n_iterations=cfg.n_ep * cfg.n_steps,
+            n_init_samples=cfg.n_init_samples, **common,
+        )
+    elif cfg.task == "uncertainty":
+        import jax.numpy as jnp
+
+        from safe_exploration_tpu.runtime.episode import collect_initial_data
+        from safe_exploration_tpu.models import make_gp_ssm, ssm_fit
+        from safe_exploration_tpu.models.ssm import estimate_lipschitz
+        from safe_exploration_tpu.runtime.uncertainty import run_uncertainty_estimation
+
+        k1, k2 = jax.random.split(key)
+        xs, us, resid = collect_initial_data(
+            exp["env"], k1, cfg.n_init_samples, exp["a"], exp["b"], exp["k_fb"]
+        )
+        ssm = make_gp_ssm(
+            exp["kern_types"], xs, us, resid, n_max=cfg.n_max,
+            l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], log_noise=cfg.log_noise,
+        )
+        ssm = ssm_fit(ssm, iters=cfg.hyp_iters)
+        ssm = estimate_lipschitz(ssm, ssm.gp.x)
+        out = run_uncertainty_estimation(
+            exp["env"], ssm, exp["a"], exp["b"], exp["k_fb"],
+            key=k2,
+            x0=jnp.zeros((exp["env"].spec.n_s,), dtype),
+            k_ff_all=jnp.zeros((cfg.n_safe, exp["env"].spec.n_u), dtype),
+            c_safety=cfg.c_safety, metrics=metrics,
+        )
+    else:
+        raise SystemExit(f"unknown task: {cfg.task}")
+    wall = time.perf_counter() - t0
+
+    summary = {
+        "config": dataclasses.asdict(cfg),
+        "wall_time_s": wall,
+        "metrics": metrics.summary(),
+    }
+    if "series" in out:
+        summary["series"] = out["series"]
+    elif "per_stage_containment" in out:
+        summary["per_stage_containment"] = out["per_stage_containment"]
+        summary["overall_containment"] = out["overall_containment"]
+        summary["violation_rate"] = out["violation_rate"]
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"{cfg.name}.summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="pendulum_episode",
+                        help="named config (see runtime/config.py registry)")
+    parser.add_argument("--list", action="store_true", help="list configs")
+    parser.add_argument("--platform", default=None,
+                        help="force jax platform (cpu/tpu)")
+    parser.add_argument("--x64", action="store_true", help="enable float64")
+    parser.add_argument("--out", default=None, help="output directory")
+    parser.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                        help="config field overrides")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from safe_exploration_tpu.runtime.config import CONFIGS
+
+    if args.list:
+        for name, c in CONFIGS.items():
+            print(f"{name:28s} task={c.task:12s} env={c.env:10s} solver={c.solver}")
+        return 0
+
+    if args.config not in CONFIGS:
+        raise SystemExit(
+            f"unknown config '{args.config}'; available: {sorted(CONFIGS)}"
+        )
+    cfg = _apply_overrides(CONFIGS[args.config], args.set)
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    summary = run_experiment(cfg, out_dir=args.out, dtype=dtype)
+    print(json.dumps(
+        {k: v for k, v in summary.items() if k != "config"}, indent=2, default=str
+    ))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

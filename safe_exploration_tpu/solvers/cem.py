@@ -1,0 +1,146 @@
+"""Constrained cross-entropy-method safe-MPC planner — pure vmap/scan XLA.
+
+Parity: reference ``safempc_cem.py::CemSafeMPC`` + ``ssm_cem/`` (SURVEY.md §2.6):
+sample M control sequences from per-stage Gaussians -> roll out ellipsoid tubes
+(batched one-step reachability) -> score = task cost + penalty * constraint
+violations -> refit the sampling distribution from elites -> iterate; return the
+first control of the best feasible sequence.
+
+The reference needs a separate torch/GPyTorch stack for this; here the SAME
+reachability/GP functions used by the SQP are simply ``vmap``-ed over samples.
+Everything is static-shaped: fixed iteration count, fixed sample count, elites
+selected with ``lax.top_k`` — so the whole planner jit-compiles, vmaps across
+problem instances (the 1000+ solves/sec north star) and runs inside ``lax.scan``
+episodic loops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from safe_exploration_tpu.models.ssm import GPSSM
+from safe_exploration_tpu.reachability.onestep import multistep_reachability
+from safe_exploration_tpu.reachability.safety import lin_ellipsoid_safety_distance
+
+__all__ = ["CemConfig", "cem_plan", "tube_violation"]
+
+# cost_fn(p_traj, q_traj, var_traj, k_ff_all) -> scalar (lower is better)
+CostFn = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+class CemConfig(NamedTuple):
+    """Static CEM hyperparameters (NamedTuple of Python ints/floats: hashable,
+    safe to close over under jit). Mirrors the reference CemSafeMPC knobs."""
+
+    n_safe: int = 5            # safety horizon T
+    n_samples: int = 256       # M sequences per iteration
+    n_elites: int = 32
+    n_iterations: int = 8
+    init_std: float = 0.4      # initial sampling std (fraction of control range)
+    min_std: float = 1e-3      # std floor (keeps exploration alive / avoids NaN)
+    penalty: float = 1e3       # constraint-violation penalty weight
+    smoothing: float = 0.3     # distribution update smoothing (0 = replace)
+
+
+def tube_violation(
+    p_traj: jax.Array,
+    q_traj: jax.Array,
+    h_mat_obs: jax.Array,
+    h_obs: jax.Array,
+    h_mat_safe: jax.Array,
+    h_safe: jax.Array,
+) -> jax.Array:
+    """Total positive constraint violation of a tube: per-stage state polytope on
+    every ellipsoid + terminal safe polytope on the last (SURVEY.md §2.5
+    constraint structure). 0 <=> feasible."""
+    d_stage = jax.vmap(
+        lambda p, q: lin_ellipsoid_safety_distance(p, q, h_mat_obs, h_obs)
+    )(p_traj, q_traj)
+    d_term = lin_ellipsoid_safety_distance(p_traj[-1], q_traj[-1], h_mat_safe, h_safe)
+    return jnp.sum(jnp.maximum(d_stage, 0.0)) + jnp.sum(jnp.maximum(d_term, 0.0))
+
+
+def cem_plan(
+    key: jax.Array,
+    ssm: GPSSM,
+    x0: jax.Array,
+    k_fb: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    u_min: jax.Array,
+    u_max: jax.Array,
+    h_mat_obs: jax.Array,
+    h_obs: jax.Array,
+    h_mat_safe: jax.Array,
+    h_safe: jax.Array,
+    c_safety: float,
+    cost_fn: CostFn,
+    cfg: CemConfig,
+    warm_mean: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
+    """Plan a safe feed-forward sequence from ``x0``.
+
+    Returns (k_ff_all (T, n_u), feasible (bool), violation (scalar), info).
+
+    ``warm_mean`` seeds the sampling distribution (the shifted previous solution
+    — the same warm-start idea as the reference's NLP parameter update,
+    SURVEY.md §2.5).
+    """
+    t_len, n_u = cfg.n_safe, u_min.shape[0]
+    dtype = x0.dtype
+    u_range = (u_max - u_min) * 0.5
+
+    mean0 = jnp.zeros((t_len, n_u), dtype) if warm_mean is None else warm_mean
+    std0 = jnp.full((t_len, n_u), cfg.init_std, dtype) * u_range
+
+    k_fb_all = jnp.tile(k_fb[None], (t_len, 1, 1))
+
+    def score_one(k_ff_all):
+        p_traj, q_traj, var_traj = multistep_reachability(
+            ssm, x0, k_ff_all, k_fb_all, a, b, c_safety
+        )
+        viol = tube_violation(p_traj, q_traj, h_mat_obs, h_obs, h_mat_safe, h_safe)
+        cost = cost_fn(p_traj, q_traj, var_traj, k_ff_all)
+        return cost + cfg.penalty * viol, viol, cost
+
+    score_batch = jax.vmap(score_one)
+
+    def iteration(carry, it_key):
+        mean, std, best_k, best_score = carry
+        eps = jax.random.normal(it_key, (cfg.n_samples, t_len, n_u), dtype)
+        samples = jnp.clip(mean + std * eps, u_min, u_max)
+        # always include the distribution mean itself (elite retention)
+        samples = samples.at[0].set(jnp.clip(mean, u_min, u_max))
+        scores, viols, costs = score_batch(samples)
+        _, elite_idx = jax.lax.top_k(-scores, cfg.n_elites)
+        elites = samples[elite_idx]
+        new_mean = jnp.mean(elites, axis=0)
+        new_std = jnp.std(elites, axis=0) + cfg.min_std
+        mean = cfg.smoothing * mean + (1.0 - cfg.smoothing) * new_mean
+        std = cfg.smoothing * std + (1.0 - cfg.smoothing) * new_std
+        # best-ever archive: guarantees we never return worse than any sample
+        # seen (including the seeded warm start at index 0 of iteration 0)
+        it_best = jnp.argmin(scores)
+        better = scores[it_best] < best_score
+        best_k = jnp.where(better, samples[it_best], best_k)
+        best_score = jnp.where(better, scores[it_best], best_score)
+        return (mean, std, best_k, best_score), None
+
+    keys = jax.random.split(key, cfg.n_iterations)
+    big = jnp.asarray(jnp.inf, dtype)
+    (mean, _, best_k, best_score), _ = jax.lax.scan(
+        iteration, (mean0, std0, mean0, big), keys
+    )
+
+    # return the better of (refined mean, best-ever sample)
+    mean_k = jnp.clip(mean, u_min, u_max)
+    _, mean_viol, mean_cost = score_one(mean_k)
+    mean_score = mean_cost + cfg.penalty * mean_viol
+    use_mean = mean_score <= best_score
+    k_ff_best = jnp.where(use_mean, mean_k, best_k)
+    _, viol, cost = score_one(k_ff_best)
+    feasible = viol <= 1e-6
+    return k_ff_best, feasible, viol, {"cost": cost}

@@ -1,0 +1,144 @@
+"""SafeMPC orchestration: planner + feasibility fallback chain as a jit state machine.
+
+Parity: reference ``safempc_simple.py::SimpleSafeMPC`` control logic (SURVEY.md
+§2.5) and its "fault tolerance" (§5.3): on solver infeasibility the controller
+re-uses the PREVIOUS still-valid safe trajectory shifted by one (applying
+``k_ff_{t+1} + k_fb (x - p_{t+1})``), and once that is exhausted falls back to the
+terminal safe LQR policy; a consecutive-failure counter is tracked. The papers'
+safety theorem rests on this chain, so here it is a first-class ``lax.cond`` state
+machine — not Python exception handling — and therefore works inside jit/vmap/scan
+(the reference cannot batch this at all).
+
+The planner is PLUGGABLE (the reference's CasADi-NLP vs torch-CEM seam, SURVEY.md
+§2.6): anything with signature
+``planner(key, ssm, x0, warm_mean) -> (k_ff_all, feasible, violation, info)``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from safe_exploration_tpu.envs.base import Env, linearize_discretize
+from safe_exploration_tpu.models.ssm import GPSSM
+from safe_exploration_tpu.ops.linalg import dlqr
+from safe_exploration_tpu.reachability.onestep import multistep_reachability
+
+__all__ = ["SafeMPCState", "SafeMPCConfig", "make_safempc"]
+
+PlannerFn = Callable[..., tuple]
+
+
+class SafeMPCConfig(NamedTuple):
+    """Static SafeMPC knobs (mirrors reference config fields, SURVEY.md §2.5/§2.8)."""
+
+    n_safe: int = 5                 # safety horizon
+    c_safety: float = 2.5           # beta_safety confidence scaling
+    lqr_w_x: float = 1.0            # LQR state weight (prior-model feedback)
+    lqr_w_u: float = 1.0            # LQR control weight
+
+
+@struct.dataclass
+class SafeMPCState:
+    """Carried controller state (a pytree): the stored safe plan + failure book-keeping."""
+
+    k_ff_plan: jax.Array   # (T, n_u) last feasible feed-forward plan
+    p_plan: jax.Array      # (T, n_s) centers at which each stored control applies
+    plan_idx: jax.Array    # () int32: next stored stage to execute on failure (T = exhausted)
+    n_fail: jax.Array      # () int32: consecutive infeasible solves
+    warm_mean: jax.Array   # (T, n_u) planner warm start (shifted previous solution)
+
+
+def make_safempc(
+    env: Env,
+    cfg: SafeMPCConfig,
+    planner: PlannerFn,
+):
+    """Build the SafeMPC pure functions for one environment.
+
+    Returns (init_state, get_action, k_fb, (a, b)):
+      * ``init_state() -> SafeMPCState``
+      * ``get_action(key, state, ssm, x) -> (u, new_state, info)`` — fully
+        jit/vmap-compatible; ``info`` carries feasibility/fallback telemetry.
+
+    The per-stage feedback ``k_fb`` is fixed from discrete LQR on the prior
+    linearization (reference: ``utils.dlqr`` on ``env.linearize_discretize``,
+    SURVEY.md §2.5), negated so u = k_ff + k_fb (x - p).
+    """
+    spec = env.spec
+    a, b = linearize_discretize(env)
+    dtype = a.dtype
+    n_s, n_u = spec.n_s, spec.n_u
+    t_len = cfg.n_safe
+
+    k_lqr, _ = dlqr(
+        a, b,
+        cfg.lqr_w_x * jnp.eye(n_s, dtype=dtype),
+        cfg.lqr_w_u * jnp.eye(n_u, dtype=dtype),
+    )
+    k_fb = -k_lqr  # (n_u, n_s)
+
+    def init_state() -> SafeMPCState:
+        return SafeMPCState(
+            k_ff_plan=jnp.zeros((t_len, n_u), dtype),
+            p_plan=jnp.zeros((t_len, n_s), dtype),
+            plan_idx=jnp.asarray(t_len, jnp.int32),  # nothing stored yet
+            n_fail=jnp.asarray(0, jnp.int32),
+            warm_mean=jnp.zeros((t_len, n_u), dtype),
+        )
+
+    def _shift_warm(k_ff_all: jax.Array) -> jax.Array:
+        return jnp.concatenate([k_ff_all[1:], jnp.zeros((1, n_u), dtype)], axis=0)
+
+    def get_action(key, state: SafeMPCState, ssm: GPSSM, x: jax.Array):
+        k_ff_new, feasible, violation, pinfo = planner(key, ssm, x, state.warm_mean)
+
+        def on_success(_):
+            # predicted centers: control t applies at center p_{t} (p_0 = x)
+            k_fb_all = jnp.tile(k_fb[None], (t_len, 1, 1))
+            p_traj, _, _ = multistep_reachability(
+                ssm, x, k_ff_new, k_fb_all, a, b, cfg.c_safety
+            )
+            p_refs = jnp.concatenate([x[None], p_traj[:-1]], axis=0)
+            u = k_ff_new[0]
+            new_state = SafeMPCState(
+                k_ff_plan=k_ff_new,
+                p_plan=p_refs,
+                plan_idx=jnp.asarray(1, jnp.int32),
+                n_fail=jnp.asarray(0, jnp.int32),
+                warm_mean=_shift_warm(k_ff_new),
+            )
+            return u, new_state
+
+        def on_failure(_):
+            idx = jnp.minimum(state.plan_idx, t_len - 1)
+            have_stored = state.plan_idx < t_len
+            # stored-plan control with feedback around its reference center
+            u_stored = state.k_ff_plan[idx] + k_fb @ (x - state.p_plan[idx])
+            # terminal safe controller: LQR toward the target equilibrium
+            u_lqr = k_fb @ (x - spec.target)
+            u = jnp.where(have_stored, u_stored, u_lqr)
+            u = jnp.clip(u, spec.u_min, spec.u_max)
+            new_state = SafeMPCState(
+                k_ff_plan=state.k_ff_plan,
+                p_plan=state.p_plan,
+                plan_idx=jnp.minimum(state.plan_idx + 1, t_len),
+                n_fail=state.n_fail + 1,
+                warm_mean=_shift_warm(state.warm_mean),
+            )
+            return u, new_state
+
+        u, new_state = jax.lax.cond(feasible, on_success, on_failure, operand=None)
+        info = {
+            "feasible": feasible,
+            "violation": violation,
+            "n_fail": new_state.n_fail,
+            "used_fallback": jnp.logical_not(feasible),
+            **pinfo,
+        }
+        return u, new_state, info
+
+    return init_state, get_action, k_fb, (a, b)

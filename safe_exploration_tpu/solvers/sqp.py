@@ -1,0 +1,218 @@
+"""Derivative-based safe-MPC NLP solver — the jit-compiled IPOPT replacement.
+
+Parity: reference ``safempc_simple.py::SimpleSafeMPC`` solve path (SURVEY.md
+§2.5): the safety NLP
+
+    min_{k_ff}  cost(tube(k_ff))
+    s.t.        per-stage ellipsoid in state polytope,
+                terminal ellipsoid in safe polytope,
+                u_min <= k_ff <= u_max
+
+where ``tube`` is the full multistep ellipsoid reachability (GP posterior + mean
+Jacobians + Lipschitz remainders) — the reference builds this graph symbolically
+in CasADi once and hands it to IPOPT/MUMPS per control step (SURVEY.md §3.3).
+
+TPU-native design (SURVEY.md §7 hard-part #1): an augmented-Lagrangian method
+(Rockafellar inequality form) with damped projected-Newton inner iterations and a
+FIXED iteration budget:
+
+  * every derivative (gradient + dense Hessian of the AL through the entire
+    reachability rollout, including second derivatives of the GP posterior) comes
+    from jax.grad / jax.hessian — no hand-built KKT graph;
+  * the decision vector is tiny (T * n_u <= ~20), so the Newton solve is a dense
+    Cholesky — MXU-trivial — and thousands of problem instances vmap side by side
+    (the 1000+ solves/sec north star; IPOPT can only solve one at a time);
+  * control bounds are handled by projection inside the Newton line search;
+  * NO data-dependent control flow: multiplier updates, penalty growth and line
+    search are all fixed-shape ``lax`` ops, so the solver nests inside scan/vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from safe_exploration_tpu.envs.base import Env
+from safe_exploration_tpu.models.ssm import GPSSM
+from safe_exploration_tpu.reachability.onestep import multistep_reachability
+from safe_exploration_tpu.reachability.safety import lin_ellipsoid_safety_distance
+
+__all__ = ["SqpConfig", "solve_safempc_nlp", "make_sqp_planner"]
+
+
+class SqpConfig(NamedTuple):
+    """Static solver knobs (fixed budgets keep everything jit/vmap-able)."""
+
+    n_safe: int = 5
+    c_safety: float = 2.5
+    n_outer: int = 12          # augmented-Lagrangian (multiplier) updates
+    n_inner: int = 6           # damped Newton steps per outer iteration
+    mu0: float = 10.0          # initial penalty
+    mu_growth: float = 1.6     # geometric penalty growth per outer iteration
+    newton_damping: float = 1e-6
+    feas_tol: float = 1e-5
+    n_linesearch: int = 4      # backtracking candidates (1, 1/2, 1/4, ...)
+
+
+def _build_constraint_fn(
+    ssm: GPSSM,
+    x0: jax.Array,
+    k_fb_all: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    c_safety: float,
+    h_mat_obs: jax.Array,
+    h_obs: jax.Array,
+    h_mat_safe: jax.Array,
+    h_safe: jax.Array,
+    cost_fn: Callable,
+):
+    """Return (objective(u_flat), constraints(u_flat)) closures over the tube."""
+    t_len, n_u = k_fb_all.shape[0], k_fb_all.shape[1]
+
+    def rollout(u_flat):
+        k_ff_all = u_flat.reshape(t_len, n_u)
+        return multistep_reachability(ssm, x0, k_ff_all, k_fb_all, a, b, c_safety)
+
+    def objective(u_flat):
+        p_traj, q_traj, var_traj = rollout(u_flat)
+        return cost_fn(p_traj, q_traj, var_traj, u_flat.reshape(t_len, n_u))
+
+    def constraints(u_flat):
+        p_traj, q_traj, _ = rollout(u_flat)
+        d_stage = jax.vmap(
+            lambda p, q: lin_ellipsoid_safety_distance(p, q, h_mat_obs, h_obs)
+        )(p_traj, q_traj)
+        d_term = lin_ellipsoid_safety_distance(
+            p_traj[-1], q_traj[-1], h_mat_safe, h_safe
+        )
+        return jnp.concatenate([d_stage.reshape(-1), d_term])
+
+    return objective, constraints
+
+
+def solve_safempc_nlp(
+    ssm: GPSSM,
+    x0: jax.Array,
+    u_init: jax.Array,
+    k_fb: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    u_min: jax.Array,
+    u_max: jax.Array,
+    h_mat_obs: jax.Array,
+    h_obs: jax.Array,
+    h_mat_safe: jax.Array,
+    h_safe: jax.Array,
+    cost_fn: Callable,
+    cfg: SqpConfig,
+):
+    """Solve one safety NLP. Returns (k_ff (T, n_u), feasible, violation, info).
+
+    ``u_init`` is the warm start (shifted previous solution — the same warm-start
+    scheme as the reference NLP, SURVEY.md §2.5).
+    """
+    t_len = cfg.n_safe
+    n_u = u_min.shape[0]
+    dtype = x0.dtype
+    k_fb_all = jnp.tile(k_fb[None], (t_len, 1, 1))
+
+    objective, constraints = _build_constraint_fn(
+        ssm, x0, k_fb_all, a, b, cfg.c_safety,
+        h_mat_obs, h_obs, h_mat_safe, h_safe, cost_fn,
+    )
+
+    lo = jnp.tile(u_min, t_len)
+    hi = jnp.tile(u_max, t_len)
+    n_con = (t_len * h_obs.shape[0]) + h_safe.shape[0]
+    n_var = t_len * n_u
+
+    def al_value(u, lam, mu):
+        """Rockafellar augmented Lagrangian for inequalities g(u) <= 0."""
+        g = constraints(u)
+        shifted = jnp.maximum(lam + mu * g, 0.0)
+        return objective(u) + (1.0 / (2.0 * mu)) * jnp.sum(shifted * shifted - lam * lam)
+
+    al_grad = jax.grad(al_value)
+    al_hess = jax.hessian(al_value)
+
+    def inner_newton(u, lam, mu):
+        def newton_step(u, _):
+            g = al_grad(u, lam, mu)
+            h = al_hess(u, lam, mu)
+            # Levenberg damping keeps the step well-defined when H is indefinite
+            # (AL Hessians of active-set switches are only PSD near the solution).
+            diag_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(h))), 1.0)
+            damp = cfg.newton_damping * diag_scale
+            eye = jnp.eye(n_var, dtype=dtype)
+
+            def try_solve(rho):
+                l = jnp.linalg.cholesky(0.5 * (h + h.T) + rho * eye)
+                y = jax.scipy.linalg.solve_triangular(l, -g, lower=True)
+                d = jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+                return d, jnp.all(jnp.isfinite(d))
+
+            d0, ok0 = try_solve(damp)
+            # fall back to a strongly-damped (gradient-like) step if Cholesky failed
+            d1, _ = try_solve(diag_scale)
+            d = jnp.where(ok0, d0, d1)
+
+            # fixed backtracking line search with projection onto the box
+            alphas = 0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype)
+            cands = jax.vmap(lambda al_: jnp.clip(u + al_ * d, lo, hi))(alphas)
+            vals = jax.vmap(lambda uu: al_value(uu, lam, mu))(cands)
+            vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+            best = jnp.argmin(vals)
+            u_new = jnp.where(vals[best] < al_value(u, lam, mu), cands[best], u)
+            return u_new, None
+
+        u_out, _ = jax.lax.scan(newton_step, u, None, length=cfg.n_inner)
+        return u_out
+
+    def outer_step(carry, _):
+        u, lam, mu = carry
+        u = inner_newton(u, lam, mu)
+        g = constraints(u)
+        lam = jnp.maximum(lam + mu * g, 0.0)
+        mu = mu * cfg.mu_growth
+        return (u, lam, mu), None
+
+    u0 = jnp.clip(u_init.reshape(-1), lo, hi)
+    lam0 = jnp.zeros((n_con,), dtype)
+    (u_fin, lam_fin, _), _ = jax.lax.scan(
+        outer_step, (u0, lam0, jnp.asarray(cfg.mu0, dtype)), None, length=cfg.n_outer
+    )
+
+    g_fin = constraints(u_fin)
+    violation = jnp.sum(jnp.maximum(g_fin, 0.0))
+    feasible = violation <= cfg.feas_tol
+    info = {"cost": objective(u_fin), "max_constraint": jnp.max(g_fin)}
+    return u_fin.reshape(t_len, n_u), feasible, violation, info
+
+
+def make_sqp_planner(
+    env: Env,
+    k_fb: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    cost_fn: Callable,
+    cfg: SqpConfig,
+):
+    """Wrap the NLP solve in the SafeMPC planner protocol
+    (``planner(key, ssm, x0, warm_mean) -> (k_ff, feasible, violation, info)``).
+    The PRNG key is unused (deterministic solver) but kept for seam parity with
+    the CEM planner."""
+    spec = env.spec
+
+    def planner(key, ssm: GPSSM, x0: jax.Array, warm_mean: jax.Array):
+        del key
+        return solve_safempc_nlp(
+            ssm, x0, warm_mean, k_fb, a, b,
+            spec.u_min, spec.u_max,
+            spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+            cost_fn, cfg,
+        )
+
+    return planner

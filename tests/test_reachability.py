@@ -52,9 +52,12 @@ def test_onestep_point_oracle(key):
     k_ff = jnp.asarray([0.3], jnp.float64)
     p_next, q_next, var = onestep_reachability_point(ssm, p, k_ff, a, b, 2.0)
     mu, var_ref = ssm_predict(ssm, p, k_ff)
+    noise = jnp.exp(2.0 * ssm.gp.log_noise)
     np.testing.assert_allclose(np.asarray(p_next), np.asarray(a @ p + b @ k_ff + mu), rtol=1e-12)
     np.testing.assert_allclose(
-        np.asarray(q_next), np.asarray(ellipsoid_from_rectangle(2.0 * jnp.sqrt(var_ref))), rtol=1e-12
+        np.asarray(q_next),
+        np.asarray(ellipsoid_from_rectangle(2.0 * jnp.sqrt(var_ref + noise))),
+        rtol=1e-12,
     )
 
 
@@ -70,11 +73,12 @@ def test_onestep_ellipsoid_oracle(key):
     p_next, q_next, _ = onestep_reachability(ssm, p, q, k_ff, k_fb, a, b, c)
 
     mu, var, j_x, j_u = ssm_predict_jac(ssm, p, k_ff)
+    noise = jnp.exp(2.0 * ssm.gp.log_noise)
     h = a + j_x + (b + j_u) @ k_fb
     u_mu, u_sigma = compute_remainder_overapproximations(q, k_fb, ssm.l_mu, ssm.l_sigma)
     p1, q1 = sum_two_ellipsoids(
         a @ p + b @ k_ff + mu, h @ q @ h.T,
-        jnp.zeros(2), ellipsoid_from_rectangle(c * (jnp.sqrt(var) + u_sigma)),
+        jnp.zeros(2), ellipsoid_from_rectangle(c * (jnp.sqrt(var + noise) + u_sigma)),
     )
     p_ref, q_ref = sum_two_ellipsoids(p1, q1, jnp.zeros(2), ellipsoid_from_rectangle(u_mu))
     np.testing.assert_allclose(np.asarray(p_next), np.asarray(p_ref), rtol=1e-12)

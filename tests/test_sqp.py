@@ -1,0 +1,132 @@
+"""SQP (IPOPT-replacement) solver tests: feasibility, local optimality vs random
+feasible perturbations, CEM cross-check, infeasibility detection, vmap batching
+(SURVEY.md §7 P6 gate, adapted: no CasADi oracle available — cross-checks are
+against our own CEM + perturbation optimality, per SURVEY.md hard-part #3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
+from safe_exploration_tpu.runtime.episode import collect_initial_data, run_episodic
+from safe_exploration_tpu.models import make_gp_ssm, ssm_fit
+from safe_exploration_tpu.models.ssm import estimate_lipschitz
+from safe_exploration_tpu.solvers.cem import tube_violation
+from safe_exploration_tpu.reachability import multistep_reachability
+
+
+def sqp_cfg(**kw):
+    base = dict(
+        name="sqp_test", solver="sqp", n_safe=4, n_max=96,
+        sqp_outer=10, sqp_inner=5,
+        n_ep=2, n_steps=10, n_init_samples=30, hyp_iters=120,
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = sqp_cfg()
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+    xs, us, resid = collect_initial_data(exp["env"], key, 30, exp["a"], exp["b"], exp["k_fb"])
+    ssm = make_gp_ssm(exp["kern_types"], xs, us, resid, n_max=96,
+                      l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], log_noise=-4.0)
+    ssm = ssm_fit(ssm, iters=120)
+    ssm = estimate_lipschitz(ssm, ssm.gp.x)
+    return exp, ssm, key
+
+
+def test_sqp_feasible_and_constraint_satisfying(setup):
+    exp, ssm, key = setup
+    x0 = jnp.asarray([0.1, 0.2], jnp.float64)
+    kff, feas, viol, info = exp["planner"](key, ssm, x0, jnp.zeros((4, 1), jnp.float64))
+    assert bool(feas) and float(viol) == 0.0
+    assert float(info["max_constraint"]) < 0
+    # controls within bounds
+    spec = exp["env"].spec
+    assert np.all(np.abs(np.asarray(kff)) <= float(spec.u_max[0]) + 1e-9)
+
+
+def test_sqp_local_optimality_vs_perturbations(setup):
+    """No random feasible perturbation of the solution may beat its cost."""
+    exp, ssm, key = setup
+    spec = exp["env"].spec
+    x0 = jnp.asarray([0.1, 0.2], jnp.float64)
+    kff, feas, _, info = exp["planner"](key, ssm, x0, jnp.zeros((4, 1), jnp.float64))
+    assert bool(feas)
+    cost_star = float(info["cost"])
+
+    kfb4 = jnp.tile(exp["k_fb"][None], (4, 1, 1))
+
+    def eval_candidate(k):
+        p_t, q_t, v_t = multistep_reachability(ssm, x0, k, kfb4, exp["a"], exp["b"], 2.0)
+        viol = tube_violation(p_t, q_t, spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe)
+        return exp["cost_fn"](p_t, q_t, v_t, k), viol
+
+    rng = np.random.default_rng(1)
+    beaten = 0
+    for scale in (1e-3, 1e-2, 5e-2):
+        for _ in range(30):
+            pert = jnp.asarray(rng.standard_normal((4, 1)) * scale)
+            cand = jnp.clip(kff + pert, spec.u_min, spec.u_max)
+            c, v = eval_candidate(cand)
+            if float(v) <= 1e-9 and float(c) < cost_star - 1e-7:
+                beaten += 1
+    assert beaten == 0, f"{beaten} feasible perturbations beat the SQP solution"
+
+
+def test_sqp_beats_or_matches_cem(setup):
+    exp, ssm, key = setup
+    cem_exp = build_experiment(
+        sqp_cfg(name="cem_ref", solver="cem", cem_samples=128, cem_iterations=8),
+        dtype=jnp.float64,
+    )
+    x0 = jnp.asarray([0.12, -0.15], jnp.float64)
+    warm = jnp.zeros((4, 1), jnp.float64)
+    _, f_sqp, _, i_sqp = exp["planner"](key, ssm, x0, warm)
+    _, f_cem, _, i_cem = cem_exp["planner"](key, ssm, x0, warm)
+    assert bool(f_sqp) and bool(f_cem)
+    assert float(i_sqp["cost"]) <= float(i_cem["cost"]) + 1e-4
+
+
+def test_sqp_detects_infeasible(setup):
+    exp, ssm, key = setup
+    # start far outside the obs polytope: no control sequence can recover
+    x0 = jnp.asarray([2.0, 3.0], jnp.float64)
+    _, feas, viol, _ = exp["planner"](key, ssm, x0, jnp.zeros((4, 1), jnp.float64))
+    assert not bool(feas)
+    assert float(viol) > 0.1
+
+
+def test_sqp_vmaps_over_states(setup):
+    """The north-star shape: a batch of NLP solves in one XLA program."""
+    exp, ssm, key = setup
+    x0s = jnp.asarray(np.random.default_rng(2).uniform(-0.15, 0.15, (8, 2)))
+    warm = jnp.zeros((4, 1), jnp.float64)
+    kffs, feas, viols, _ = jax.jit(jax.vmap(
+        lambda x: exp["planner"](key, ssm, x, warm)
+    ))(x0s)
+    assert kffs.shape == (8, 4, 1)
+    assert bool(jnp.all(feas)), np.asarray(viols)
+    # batched result matches the single solve
+    k_single, _, _, _ = exp["planner"](key, ssm, x0s[3], warm)
+    np.testing.assert_allclose(np.asarray(kffs[3]), np.asarray(k_single), rtol=1e-8, atol=1e-10)
+
+
+def test_sqp_episodic_zero_violations(key):
+    cfg = sqp_cfg()
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    out = run_episodic(
+        exp["env"], exp["init_state"], exp["get_action"],
+        exp["a"], exp["b"], exp["k_fb"],
+        key=key, kern_types=exp["kern_types"], n_max=cfg.n_max,
+        l_mu=exp["l_mu"], l_sigma=exp["l_sigma"],
+        n_ep=cfg.n_ep, n_steps=cfg.n_steps,
+        n_init_samples=cfg.n_init_samples, hyp_iters=cfg.hyp_iters,
+    )
+    s = out["series"]
+    assert sum(s["violations"]) == 0
+    assert all(f > 0.5 for f in s["feasibility_rate"]), s["feasibility_rate"]
