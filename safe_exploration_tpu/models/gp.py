@@ -83,18 +83,50 @@ def _masked_gram(
     return k + jnp.diag(diag)
 
 
+# Pallas dispatch threshold: below this size XLA's fused ops win (kernel
+# launch + padding overhead); above, the hand-tiled kernels (ops/pallas) do.
+_PALLAS_MIN_N = 256
+
+
+def _use_pallas(n: int, dtype) -> bool:
+    from safe_exploration_tpu.ops.pallas import on_tpu
+
+    return on_tpu() and n >= _PALLAS_MIN_N and dtype == jnp.float32
+
+
+def _refit_gram(gp: GP, d: int, noise_var: jax.Array) -> jax.Array:
+    """Masked Gram for the (non-differentiated) refit path: fused Pallas kernel
+    on TPU for the RBF large-N tier, XLA composition otherwise."""
+    if gp.kern_types[d] == "rbf" and _use_pallas(gp.n_max, gp.x.dtype):
+        from safe_exploration_tpu.ops.pallas import rbf_gram_masked
+
+        return rbf_gram_masked(gp.params[d], gp.x, gp.mask, noise_var)
+    return _masked_gram(gp.kern_types[d], gp.params[d], gp.x, gp.mask, noise_var)
+
+
+def _chol_psd(k: jax.Array) -> jax.Array:
+    """Cholesky for the refit path: blocked Pallas kernel on TPU at size."""
+    if _use_pallas(k.shape[-1], k.dtype):
+        from safe_exploration_tpu.ops.pallas import cholesky_blocked
+
+        return cholesky_blocked(k)
+    return jnp.linalg.cholesky(k)
+
+
 def gp_refit(gp: GP) -> GP:
     """Recompute posterior factors (chol, beta) for the current data + params.
 
     Parity: the Cholesky the reference does in GPy/LAPACK on every
-    ``update_model`` (SURVEY.md §3.1 hot loop 'GP refit').
+    ``update_model`` (SURVEY.md §3.1 hot loop 'GP refit'). On TPU at size the
+    Gram build and factorization run as Pallas kernels (ops/pallas); this path
+    is never differentiated (hyperopt's gp_nll keeps the XLA cholesky).
     """
     chols = []
     betas = []
     for d in range(gp.n_out):
         noise_var = jnp.exp(2.0 * gp.log_noise[d])
-        k = _masked_gram(gp.kern_types[d], gp.params[d], gp.x, gp.mask, noise_var)
-        l = jnp.linalg.cholesky(k)
+        k = _refit_gram(gp, d, noise_var)
+        l = _chol_psd(k)
         yd = gp.mask * gp.y[:, d]
         z = jax.scipy.linalg.solve_triangular(l, yd, lower=True)
         b = jax.scipy.linalg.solve_triangular(l.T, z, lower=False)
