@@ -7,5 +7,18 @@ from safe_exploration_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
 )
+from safe_exploration_tpu.parallel.sharded_gp import (
+    DATA_AXIS,
+    shard_sparse_gp,
+    sparse_gp_refit_sharded,
+)
 
-__all__ = ["EPISODE_AXIS", "make_mesh", "shard_batch", "batched_solves"]
+__all__ = [
+    "EPISODE_AXIS",
+    "DATA_AXIS",
+    "make_mesh",
+    "shard_batch",
+    "batched_solves",
+    "shard_sparse_gp",
+    "sparse_gp_refit_sharded",
+]
