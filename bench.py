@@ -48,6 +48,14 @@ def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype):
         l_mu=jnp.full((2,), 0.05, dtype), l_sigma=jnp.full((2,), 0.02, dtype),
         log_noise=-4.0,
     )
+    # calibrate signal variance to the ~1e-3-scale residuals (as __graft_entry__
+    # does) so the benchmark solves a FEASIBLE problem, not a blown-up tube
+    from safe_exploration_tpu.models.gp import gp_refit
+
+    params = tuple(
+        {**p, "log_sf": jnp.asarray(-3.0, dtype)} for p in ssm.gp.params
+    )
+    ssm = ssm.replace(gp=gp_refit(ssm.gp.replace(params=params)))
 
     x0s = (
         jax.random.uniform(jax.random.fold_in(key, 2), (batch, 2), dtype, -1.0, 1.0)

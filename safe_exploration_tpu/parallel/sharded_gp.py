@@ -93,7 +93,7 @@ def sparse_gp_refit_sharded(
         mesh=mesh,
         in_specs=(rep, P(axis), P(axis), P(axis), rep, rep),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     luu, lsig, alpha = jax.jit(sharded)(
         sgp.z, sgp.x, sgp.y, sgp.mask, sgp.params, sgp.log_noise
