@@ -56,6 +56,7 @@ class ExperimentConfig:
     # safe-MPC
     n_safe: int = 5                  # safety horizon
     n_perf: int = 0                  # performance horizon (0 = none)
+    r_shared: int = 1                # controls shared by safety & perf trajs
     perf_trajectory: str = "taylor"  # "taylor" | "mean_equivalent"
     c_safety: float = 2.0            # beta confidence scaling
     lqr_w_x: float = 1.0
@@ -112,6 +113,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
     else:
         raise ValueError(f"unknown objective {cfg.objective}")
 
+    warm_len = cfg.n_safe
     if cfg.solver == "cem":
         cem_cfg = CemConfig(
             n_safe=cfg.n_safe,
@@ -128,19 +130,26 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
             )
 
     elif cfg.solver == "sqp":
-        from safe_exploration_tpu.solvers.sqp import SqpConfig, make_sqp_planner
-
-        planner = make_sqp_planner(
-            env, k_fb, a, b, cost_fn,
-            SqpConfig(
-                n_safe=cfg.n_safe, c_safety=cfg.c_safety,
-                n_outer=cfg.sqp_outer, n_inner=cfg.sqp_inner,
-            ),
+        from safe_exploration_tpu.solvers.sqp import (
+            SqpConfig,
+            make_sqp_planner,
+            sqp_warm_len,
         )
+
+        sqp_cfg = SqpConfig(
+            n_safe=cfg.n_safe, c_safety=cfg.c_safety,
+            n_outer=cfg.sqp_outer, n_inner=cfg.sqp_inner,
+            n_perf=cfg.n_perf, r_shared=cfg.r_shared,
+            perf_method=cfg.perf_trajectory,
+        )
+        planner = make_sqp_planner(env, k_fb, a, b, cost_fn, sqp_cfg)
+        warm_len = sqp_warm_len(sqp_cfg)
     else:
         raise ValueError(f"unknown solver {cfg.solver}")
 
-    init_state, get_action, _, _ = make_safempc(env, mpc_cfg, planner)
+    init_state, get_action, _, _ = make_safempc(
+        env, mpc_cfg, planner, warm_len=warm_len
+    )
     kern_types = _kern_tuple(cfg, spec.n_s)
     return {
         "env": env,

@@ -143,4 +143,4 @@ def cem_plan(
     k_ff_best = jnp.where(use_mean, mean_k, best_k)
     _, viol, cost = score_one(k_ff_best)
     feasible = viol <= 1e-6
-    return k_ff_best, feasible, viol, {"cost": cost}
+    return k_ff_best, feasible, viol, {"cost": cost, "warm_next": k_ff_best}

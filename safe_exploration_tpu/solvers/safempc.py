@@ -56,8 +56,14 @@ def make_safempc(
     env: Env,
     cfg: SafeMPCConfig,
     planner: PlannerFn,
+    warm_len: int | None = None,
 ):
     """Build the SafeMPC pure functions for one environment.
+
+    ``warm_len`` is the row count of the planner's warm-start matrix — equal to
+    n_safe for safety-only planners, and n_safe + (n_perf - r_shared) when the
+    planner carries a joint performance trajectory (solvers/sqp.sqp_warm_len);
+    planners return the matching full decision matrix as ``info['warm_next']``.
 
     Returns (init_state, get_action, k_fb, (a, b)):
       * ``init_state() -> SafeMPCState``
@@ -73,6 +79,7 @@ def make_safempc(
     dtype = a.dtype
     n_s, n_u = spec.n_s, spec.n_u
     t_len = cfg.n_safe
+    n_warm = t_len if warm_len is None else warm_len
 
     k_lqr, _ = dlqr(
         a, b,
@@ -87,7 +94,7 @@ def make_safempc(
             p_plan=jnp.zeros((t_len, n_s), dtype),
             plan_idx=jnp.asarray(t_len, jnp.int32),  # nothing stored yet
             n_fail=jnp.asarray(0, jnp.int32),
-            warm_mean=jnp.zeros((t_len, n_u), dtype),
+            warm_mean=jnp.zeros((n_warm, n_u), dtype),
         )
 
     def _shift_warm(k_ff_all: jax.Array) -> jax.Array:
@@ -95,6 +102,7 @@ def make_safempc(
 
     def get_action(key, state: SafeMPCState, ssm: GPSSM, x: jax.Array):
         k_ff_new, feasible, violation, pinfo = planner(key, ssm, x, state.warm_mean)
+        warm_next = pinfo.get("warm_next", k_ff_new)
 
         def on_success(_):
             # predicted centers: control t applies at center p_{t} (p_0 = x)
@@ -109,7 +117,7 @@ def make_safempc(
                 p_plan=p_refs,
                 plan_idx=jnp.asarray(1, jnp.int32),
                 n_fail=jnp.asarray(0, jnp.int32),
-                warm_mean=_shift_warm(k_ff_new),
+                warm_mean=_shift_warm(warm_next),
             )
             return u, new_state
 

@@ -39,7 +39,7 @@ from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.reachability.onestep import multistep_reachability
 from safe_exploration_tpu.reachability.safety import lin_ellipsoid_safety_distance
 
-__all__ = ["SqpConfig", "solve_safempc_nlp", "make_sqp_planner"]
+__all__ = ["SqpConfig", "solve_safempc_nlp", "make_sqp_planner", "sqp_warm_len"]
 
 
 class SqpConfig(NamedTuple):
@@ -54,6 +54,13 @@ class SqpConfig(NamedTuple):
     newton_damping: float = 1e-6
     feas_tol: float = 1e-5
     n_linesearch: int = 4      # backtracking candidates (1, 1/2, 1/4, ...)
+    # joint safety+performance trajectory (reference safempc_simple.py,
+    # SURVEY.md §2.5): the objective rides a length-n_perf cheap Gaussian
+    # propagation sharing the first r_shared controls with the safety tube;
+    # n_perf = 0 puts the objective on the safety tube itself.
+    n_perf: int = 0
+    r_shared: int = 1
+    perf_method: str = "taylor"  # "taylor" | "mean_equivalent"
 
 
 def _build_constraint_fn(
@@ -62,23 +69,52 @@ def _build_constraint_fn(
     k_fb_all: jax.Array,
     a: jax.Array,
     b: jax.Array,
-    c_safety: float,
+    cfg: "SqpConfig",
     h_mat_obs: jax.Array,
     h_obs: jax.Array,
     h_mat_safe: jax.Array,
     h_safe: jax.Array,
     cost_fn: Callable,
 ):
-    """Return (objective(u_flat), constraints(u_flat)) closures over the tube."""
+    """Return (objective(u_flat), constraints(u_flat)) closures.
+
+    Decision vector layout: ``u_flat = [k_ff (n_safe * n_u) | u_perf_free
+    ((n_perf - r_shared) * n_u)]``. Safety constraints see only the k_ff block;
+    the objective rides the performance trajectory (first r_shared controls
+    shared with the safety tube) when ``cfg.n_perf > 0`` — the reference's
+    joint safety+performance NLP structure (SURVEY.md §2.5).
+    """
     t_len, n_u = k_fb_all.shape[0], k_fb_all.shape[1]
+    r = min(cfg.r_shared, t_len, cfg.n_perf) if cfg.n_perf > 0 else 0
+    n_safe_flat = t_len * n_u
+
+    def split(u_flat):
+        k_ff_all = u_flat[:n_safe_flat].reshape(t_len, n_u)
+        u_perf_free = u_flat[n_safe_flat:].reshape(-1, n_u)
+        return k_ff_all, u_perf_free
 
     def rollout(u_flat):
-        k_ff_all = u_flat.reshape(t_len, n_u)
-        return multistep_reachability(ssm, x0, k_ff_all, k_fb_all, a, b, c_safety)
+        k_ff_all, _ = split(u_flat)
+        return multistep_reachability(ssm, x0, k_ff_all, k_fb_all, a, b,
+                                      cfg.c_safety)
 
-    def objective(u_flat):
-        p_traj, q_traj, var_traj = rollout(u_flat)
-        return cost_fn(p_traj, q_traj, var_traj, u_flat.reshape(t_len, n_u))
+    if cfg.n_perf > 0:
+        from safe_exploration_tpu.reachability.propagation import (
+            multi_step_propagation,
+        )
+
+        def objective(u_flat):
+            k_ff_all, u_perf_free = split(u_flat)
+            u_perf_all = jnp.concatenate([k_ff_all[:r], u_perf_free], axis=0)
+            p_traj, sigma_traj, var_traj = multi_step_propagation(
+                ssm, x0, u_perf_all, a, b, method=cfg.perf_method
+            )
+            return cost_fn(p_traj, sigma_traj, var_traj, u_perf_all)
+    else:
+
+        def objective(u_flat):
+            p_traj, q_traj, var_traj = rollout(u_flat)
+            return cost_fn(p_traj, q_traj, var_traj, split(u_flat)[0])
 
     def constraints(u_flat):
         p_traj, q_traj, _ = rollout(u_flat)
@@ -91,6 +127,15 @@ def _build_constraint_fn(
         return jnp.concatenate([d_stage.reshape(-1), d_term])
 
     return objective, constraints
+
+
+def sqp_warm_len(cfg: SqpConfig) -> int:
+    """Rows of the planner's warm-start matrix: safety controls + free
+    performance controls (those not shared with the safety trajectory)."""
+    if cfg.n_perf <= 0:
+        return cfg.n_safe
+    r = min(cfg.r_shared, cfg.n_safe, cfg.n_perf)
+    return cfg.n_safe + (cfg.n_perf - r)
 
 
 def solve_safempc_nlp(
@@ -109,10 +154,15 @@ def solve_safempc_nlp(
     cost_fn: Callable,
     cfg: SqpConfig,
 ):
-    """Solve one safety NLP. Returns (k_ff (T, n_u), feasible, violation, info).
+    """Solve one safety(+performance) NLP.
 
-    ``u_init`` is the warm start (shifted previous solution — the same warm-start
-    scheme as the reference NLP, SURVEY.md §2.5).
+    Returns (k_ff (n_safe, n_u), feasible, violation, info); ``info`` carries
+    the FULL decision matrix as ``warm_next`` (n_warm, n_u) for the shifted
+    warm start, and the final objective value.
+
+    ``u_init`` is the warm start (shifted previous solution — the same
+    warm-start scheme as the reference NLP, SURVEY.md §2.5); its row count is
+    ``sqp_warm_len(cfg)``.
     """
     t_len = cfg.n_safe
     n_u = u_min.shape[0]
@@ -120,14 +170,15 @@ def solve_safempc_nlp(
     k_fb_all = jnp.tile(k_fb[None], (t_len, 1, 1))
 
     objective, constraints = _build_constraint_fn(
-        ssm, x0, k_fb_all, a, b, cfg.c_safety,
+        ssm, x0, k_fb_all, a, b, cfg,
         h_mat_obs, h_obs, h_mat_safe, h_safe, cost_fn,
     )
 
-    lo = jnp.tile(u_min, t_len)
-    hi = jnp.tile(u_max, t_len)
+    t_total = sqp_warm_len(cfg)
+    lo = jnp.tile(u_min, t_total)
+    hi = jnp.tile(u_max, t_total)
     n_con = (t_len * h_obs.shape[0]) + h_safe.shape[0]
-    n_var = t_len * n_u
+    n_var = t_total * n_u
 
     def al_value(u, lam, mu):
         """Rockafellar augmented Lagrangian for inequalities g(u) <= 0."""
@@ -188,8 +239,13 @@ def solve_safempc_nlp(
     g_fin = constraints(u_fin)
     violation = jnp.sum(jnp.maximum(g_fin, 0.0))
     feasible = violation <= cfg.feas_tol
-    info = {"cost": objective(u_fin), "max_constraint": jnp.max(g_fin)}
-    return u_fin.reshape(t_len, n_u), feasible, violation, info
+    u_mat = u_fin.reshape(t_total, n_u)
+    info = {
+        "cost": objective(u_fin),
+        "max_constraint": jnp.max(g_fin),
+        "warm_next": u_mat,
+    }
+    return u_mat[:t_len], feasible, violation, info
 
 
 def make_sqp_planner(

@@ -1,0 +1,116 @@
+"""Joint safety+performance trajectory in the SQP planner.
+
+Parity: reference ``safempc_simple.py`` carries a length-n_perf performance
+trajectory (cheap Gaussian propagation, carries the objective) sharing the
+first r controls with the hard-constrained safety tube (SURVEY.md §2.5);
+``uncertainty_propagation_casadi.py`` provides the propagation (§2.4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_exploration_tpu.envs import env_step, make_pendulum
+from safe_exploration_tpu.models import make_gp_ssm
+from safe_exploration_tpu.models.gp import gp_refit
+from safe_exploration_tpu.reachability.propagation import multi_step_propagation
+from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
+from safe_exploration_tpu.solvers.sqp import SqpConfig, sqp_warm_len
+
+
+def _calibrated_ssm(exp, n_data=12, n_max=32, dtype=jnp.float64):
+    env, a, b = exp["env"], exp["a"], exp["b"]
+    key = jax.random.PRNGKey(0)
+    xs = (
+        jax.random.uniform(key, (n_data, 2), dtype, -1.0, 1.0)
+        * jnp.asarray([0.3, 1.0], dtype)
+    )
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (n_data, 1), dtype, -1.0, 1.0)
+    _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+    ssm = make_gp_ssm(
+        exp["kern_types"], xs, us, resid, n_max=n_max,
+        l_mu=jnp.full((2,), 0.05, dtype), l_sigma=jnp.full((2,), 0.02, dtype),
+        log_noise=-4.0,
+    )
+    params = tuple({**p, "log_sf": jnp.asarray(-3.0, dtype)} for p in ssm.gp.params)
+    return ssm.replace(gp=gp_refit(ssm.gp.replace(params=params)))
+
+
+@pytest.fixture(scope="module")
+def perf_exp():
+    cfg = ExperimentConfig(
+        name="t", solver="sqp", n_safe=3, n_perf=6, r_shared=2, n_max=32,
+        sqp_outer=5, sqp_inner=3,
+    )
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    ssm = _calibrated_ssm(exp)
+    return cfg, exp, ssm
+
+
+def test_warm_len_accounting():
+    assert sqp_warm_len(SqpConfig(n_safe=5, n_perf=0)) == 5
+    assert sqp_warm_len(SqpConfig(n_safe=5, n_perf=10, r_shared=2)) == 13
+    assert sqp_warm_len(SqpConfig(n_safe=5, n_perf=3, r_shared=5)) == 5
+    assert sqp_warm_len(SqpConfig(n_safe=5, n_perf=1, r_shared=1)) == 5
+
+
+def test_perf_solve_feasible_and_shapes(perf_exp):
+    cfg, exp, ssm = perf_exp
+    x0 = jnp.asarray([0.05, 0.1], jnp.float64)
+    warm = jnp.zeros((sqp_warm_len(SqpConfig(
+        n_safe=cfg.n_safe, n_perf=cfg.n_perf, r_shared=cfg.r_shared
+    )), 1), jnp.float64)
+    k_ff, feasible, violation, info = jax.jit(exp["planner"])(
+        jax.random.PRNGKey(0), ssm, x0, warm
+    )
+    assert k_ff.shape == (cfg.n_safe, 1)
+    assert info["warm_next"].shape == (cfg.n_safe + cfg.n_perf - cfg.r_shared, 1)
+    assert bool(feasible), float(violation)
+    assert bool(jnp.isfinite(info["cost"]))
+
+
+def test_perf_objective_is_the_perf_trajectory_cost(perf_exp):
+    """info['cost'] must equal the tracking cost evaluated on the propagated
+    performance trajectory of the returned controls."""
+    cfg, exp, ssm = perf_exp
+    x0 = jnp.asarray([0.05, 0.1], jnp.float64)
+    warm = jnp.zeros((cfg.n_safe + cfg.n_perf - cfg.r_shared, 1), jnp.float64)
+    k_ff, _, _, info = exp["planner"](jax.random.PRNGKey(0), ssm, x0, warm)
+    u_full = info["warm_next"]
+    u_perf = jnp.concatenate([k_ff[: cfg.r_shared], u_full[cfg.n_safe:]], axis=0)
+    p_traj, sig_traj, var_traj = multi_step_propagation(
+        ssm, x0, u_perf, exp["a"], exp["b"], method=cfg.perf_trajectory
+    )
+    expected = exp["cost_fn"](p_traj, sig_traj, var_traj, u_perf)
+    np.testing.assert_allclose(float(info["cost"]), float(expected), rtol=1e-10)
+
+
+def test_perf_get_action_runs_with_extended_warm(perf_exp):
+    cfg, exp, ssm = perf_exp
+    x0 = jnp.asarray([0.03, 0.05], jnp.float64)
+    state = exp["init_state"]()
+    assert state.warm_mean.shape == (cfg.n_safe + cfg.n_perf - cfg.r_shared, 1)
+    u, state2, info = jax.jit(exp["get_action"])(
+        jax.random.PRNGKey(1), state, ssm, x0
+    )
+    assert u.shape == (1,)
+    assert state2.warm_mean.shape == state.warm_mean.shape
+    assert bool(jnp.all(jnp.isfinite(u)))
+
+
+def test_mean_equivalent_method_also_solves(perf_exp):
+    cfg, exp, ssm = perf_exp
+    cfg2 = ExperimentConfig(
+        name="t2", solver="sqp", n_safe=3, n_perf=6, r_shared=2, n_max=32,
+        sqp_outer=5, sqp_inner=3, perf_trajectory="mean_equivalent",
+    )
+    exp2 = build_experiment(cfg2, dtype=jnp.float64)
+    x0 = jnp.asarray([0.05, 0.1], jnp.float64)
+    warm = jnp.zeros((cfg2.n_safe + cfg2.n_perf - cfg2.r_shared, 1), jnp.float64)
+    k_ff, feasible, violation, info = exp2["planner"](
+        jax.random.PRNGKey(0), ssm, x0, warm
+    )
+    assert bool(feasible), float(violation)
+    assert bool(jnp.isfinite(info["cost"]))
