@@ -1,0 +1,202 @@
+"""MC-dropout neural-network SSM — the second uncertainty-model family.
+
+Parity: reference ``ssm_cem/ssm_cem.py::McDropoutSSM`` (+ concrete-dropout
+variant) — a dropout MLP whose predictive distribution comes from S stochastic
+forward passes (Gal & Ghahramani's dropout-as-Bayes view), used as a drop-in
+``CemSSM`` backend for the CEM planner (SURVEY.md §2.3, §2.6).
+
+TPU-first design:
+  * The S dropout masks are DERIVED from a stored PRNG key (refreshable via
+    ``mc_resample``), so prediction is a pure deterministic function of the
+    model state — it jits, vmaps (CEM samples / episode batches) and
+    differentiates (``jacfwd`` state-Jacobians for reachability) exactly like
+    the GP. The reference draws fresh torch masks per call and cannot be
+    batched deterministically.
+  * All S stochastic passes run as ONE vmapped MLP — a batched matmul stack on
+    the MXU, not S sequential evaluations.
+  * Training is fixed-budget Adam on MSE + L2 (the dropout-Bayes regularizer),
+    jit-able inside episodic loops (same contract as models/gp.gp_fit).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = [
+    "McDropoutSSM",
+    "make_mc_dropout_ssm",
+    "mc_fit",
+    "mc_update_data",
+    "mc_resample",
+]
+
+
+@struct.dataclass
+class McDropoutSSM:
+    """Dropout-MLP residual-dynamics model (pytree; satisfies the SSM protocol
+    consumed by reachability: ``predict_latent``, ``noise_var``, l_mu/l_sigma).
+    """
+
+    n_s: int = struct.field(pytree_node=False)
+    n_samples: int = struct.field(pytree_node=False)   # S MC passes
+    keep_prob: float = struct.field(pytree_node=False)
+    weights: tuple    # ((w, b), ...) MLP layers
+    mask_key: jax.Array   # PRNG key the S dropout masks derive from
+    log_noise: jax.Array  # (e,) aleatoric noise std (log)
+    l_mu: jax.Array       # (e,) Lipschitz const of mean gradient
+    l_sigma: jax.Array    # (e,) Lipschitz const of predictive std
+    # padded replay buffer for update_model parity
+    x: jax.Array          # (n_max, d_in)
+    y: jax.Array          # (n_max, e)
+    mask: jax.Array       # (n_max,)
+    head: jax.Array       # () int32
+
+    @property
+    def n_out(self) -> int:
+        return self.y.shape[1]
+
+    # --- SSM protocol -----------------------------------------------------
+
+    def predict_latent(self, z: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Predictive mean and (epistemic) variance at one input z (d_in,)."""
+        outs = _mc_forward(self, z)                     # (S, e)
+        mean = jnp.mean(outs, axis=0)
+        var = jnp.var(outs, axis=0) + 1e-12
+        return mean, var
+
+    def noise_var(self) -> jax.Array:
+        return jnp.exp(2.0 * self.log_noise)
+
+
+def _dropout_masks(ssm: McDropoutSSM, s: jax.Array) -> list:
+    """Hidden-layer keep masks for MC pass ``s`` (inverted-dropout scaling)."""
+    masks = []
+    key = jax.random.fold_in(ssm.mask_key, s)
+    for i, (w, _) in enumerate(ssm.weights[:-1]):
+        k = jax.random.fold_in(key, i)
+        keep = jax.random.bernoulli(k, ssm.keep_prob, (w.shape[1],))
+        masks.append(keep.astype(w.dtype) / ssm.keep_prob)
+    return masks
+
+
+def _forward_once(ssm: McDropoutSSM, z: jax.Array, s: jax.Array) -> jax.Array:
+    h = z
+    masks = _dropout_masks(ssm, s)
+    for i, (w, b) in enumerate(ssm.weights[:-1]):
+        h = jnp.tanh(h @ w + b) * masks[i]
+    w, b = ssm.weights[-1]
+    return h @ w + b
+
+
+def _mc_forward(ssm: McDropoutSSM, z: jax.Array) -> jax.Array:
+    return jax.vmap(lambda s: _forward_once(ssm, z, s))(
+        jnp.arange(ssm.n_samples)
+    )
+
+
+def make_mc_dropout_ssm(
+    key: jax.Array,
+    x: jax.Array,
+    u: jax.Array,
+    y: jax.Array,
+    *,
+    n_max: int,
+    l_mu: jax.Array,
+    l_sigma: jax.Array,
+    hidden: tuple = (64, 64),
+    n_samples: int = 16,
+    keep_prob: float = 0.9,
+    log_noise: float = -3.0,
+) -> McDropoutSSM:
+    """Build (untrained) MC-dropout SSM from initial transitions; see mc_fit."""
+    z = jnp.concatenate([x, u], axis=-1)
+    d_in, e = z.shape[1], y.shape[1]
+    dtype = x.dtype
+    dims = (d_in,) + tuple(hidden) + (e,)
+    k_init, k_mask = jax.random.split(key)
+    weights = []
+    for i in range(len(dims) - 1):
+        k_init, kw = jax.random.split(k_init)
+        scale = jnp.sqrt(2.0 / dims[i]).astype(dtype)
+        weights.append(
+            (
+                scale * jax.random.normal(kw, (dims[i], dims[i + 1]), dtype),
+                jnp.zeros((dims[i + 1],), dtype),
+            )
+        )
+    n = z.shape[0]
+    xp = jnp.zeros((n_max, d_in), dtype).at[:n].set(z)
+    yp = jnp.zeros((n_max, e), dtype).at[:n].set(y)
+    mask = jnp.zeros((n_max,), dtype).at[:n].set(1.0)
+    return McDropoutSSM(
+        n_s=x.shape[1], n_samples=n_samples, keep_prob=keep_prob,
+        weights=tuple(weights), mask_key=k_mask,
+        log_noise=jnp.full((e,), log_noise, dtype),
+        l_mu=l_mu, l_sigma=l_sigma,
+        x=xp, y=yp, mask=mask, head=jnp.asarray(n, jnp.int32),
+    )
+
+
+def mc_update_data(ssm: McDropoutSSM, x: jax.Array, u: jax.Array, y: jax.Array
+                   ) -> McDropoutSSM:
+    """Append transitions to the replay buffer (ring overwrite when full).
+
+    Parity: ``CemSSM.update_model`` (SURVEY.md §2.3); call mc_fit afterwards.
+    """
+    z = jnp.concatenate([x, u], axis=-1)
+    k = z.shape[0]
+    idx = (ssm.head + jnp.arange(k, dtype=jnp.int32)) % ssm.x.shape[0]
+    return ssm.replace(
+        x=ssm.x.at[idx].set(z),
+        y=ssm.y.at[idx].set(y),
+        mask=ssm.mask.at[idx].set(1.0),
+        head=ssm.head + k,
+    )
+
+
+def mc_resample(ssm: McDropoutSSM, key: jax.Array) -> McDropoutSSM:
+    """Redraw the S dropout masks (fresh epistemic sample set)."""
+    return ssm.replace(mask_key=key)
+
+
+def mc_fit(
+    ssm: McDropoutSSM,
+    key: jax.Array,
+    *,
+    iters: int = 500,
+    lr: float = 3e-3,
+    weight_decay: float = 1e-5,
+) -> McDropoutSSM:
+    """Fixed-budget Adam on masked MSE with per-step stochastic dropout.
+
+    The L2 term is the KL regularizer of the dropout-as-Bayes objective.
+    """
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+    n_max = ssm.x.shape[0]
+
+    def loss(weights, step_key):
+        model = ssm.replace(weights=weights, mask_key=step_key)
+
+        def per_point(z, y, m):
+            # one stochastic pass per point (mask index = 0 of a fresh key)
+            pred = _forward_once(model, z, jnp.asarray(0))
+            return m * jnp.sum((pred - y) ** 2)
+
+        total = jax.vmap(per_point)(ssm.x, ssm.y, ssm.mask)
+        return jnp.sum(total) / jnp.maximum(jnp.sum(ssm.mask), 1.0)
+
+    state0 = opt.init(ssm.weights)
+
+    def step(carry, k):
+        weights, opt_state = carry
+        g = jax.grad(loss)(weights, k)
+        updates, opt_state = opt.update(g, opt_state, weights)
+        weights = optax.apply_updates(weights, updates)
+        return (weights, opt_state), None
+
+    keys = jax.random.split(key, iters)
+    (weights, _), _ = jax.lax.scan(step, (ssm.weights, state0), keys)
+    return ssm.replace(weights=weights)

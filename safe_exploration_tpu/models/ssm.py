@@ -37,6 +37,14 @@ class GPSSM:
     l_mu: jax.Array     # (n_s,)
     l_sigma: jax.Array  # (n_s,)
 
+    # --- SSM protocol (shared with models/nn_ssm.McDropoutSSM) -------------
+
+    def predict_latent(self, z: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return gp_mod.gp_predict(self.gp, z)
+
+    def noise_var(self) -> jax.Array:
+        return jnp.exp(2.0 * self.gp.log_noise)
+
 
 def make_gp_ssm(
     kern_types: tuple,
@@ -55,38 +63,44 @@ def make_gp_ssm(
     return GPSSM(gp=gp, l_mu=l_mu, l_sigma=l_sigma)
 
 
-def ssm_predict(ssm: GPSSM, x: jax.Array, u: jax.Array):
+def ssm_predict(ssm, x: jax.Array, u: jax.Array):
     """Residual mean and variance at one (state, action).
 
     Returns (mu (n_s,), var (n_s,)). Parity: ``StateSpaceModel.predict`` without
-    jacobians (SURVEY.md §2.3).
+    jacobians (SURVEY.md §2.3). Dispatches through the SSM protocol
+    (``predict_latent``), so any uncertainty model family — exact GP, sparse
+    GP wrapper, MC-dropout net — plugs into the same reachability/solver stack
+    (the reference's CemSSM seam, SURVEY.md §2.6).
     """
     z = jnp.concatenate([x, u], axis=-1)
-    return gp_mod.gp_predict(ssm.gp, z)
+    return ssm.predict_latent(z)
 
 
-def ssm_predict_jac(ssm: GPSSM, x: jax.Array, u: jax.Array):
+def ssm_predict_jac(ssm, x: jax.Array, u: jax.Array):
     """Prediction + Jacobians split over state and control.
 
     Returns (mu, var, jac_mu_x (n_s, n_s), jac_mu_u (n_s, n_u)).
     Parity: ``StateSpaceModel.predict(..., jacobians=True)`` (SURVEY.md §2.3);
     the reachability linearization consumes the mean Jacobians (SURVEY.md §2.4).
+    One ``jacfwd`` over the protocol's predict replaces GPy's handwritten
+    gradient formulas AND torch autograd (SURVEY.md §3.4).
     """
     n_s = x.shape[-1]
     z = jnp.concatenate([x, u], axis=-1)
-    mu, var, jac_mu, _ = gp_mod.gp_predict_jac(ssm.gp, z)
+    mu, var = ssm.predict_latent(z)
+    jac_mu = jax.jacfwd(lambda zz: ssm.predict_latent(zz)[0])(z)
     return mu, var, jac_mu[:, :n_s], jac_mu[:, n_s:]
 
 
-def ssm_noise_var(ssm: GPSSM) -> jax.Array:
+def ssm_noise_var(ssm) -> jax.Array:
     """Observation-noise variance per output dim.
 
-    The GP is trained on noisy residuals, so its fitted noise subsumes plant
+    The model is trained on noisy residuals, so its fitted noise subsumes plant
     process noise; the reachability confidence intervals must add it to the
     latent variance (GPy's ``predict`` includes likelihood noise by default —
     the reference's tubes therefore cover process noise; ours must too).
     """
-    return jnp.exp(2.0 * ssm.gp.log_noise)
+    return ssm.noise_var()
 
 
 def ssm_update(
