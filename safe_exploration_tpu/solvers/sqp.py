@@ -49,8 +49,11 @@ class SqpConfig(NamedTuple):
     c_safety: float = 2.5
     n_outer: int = 12          # augmented-Lagrangian (multiplier) updates
     n_inner: int = 6           # damped Newton steps per outer iteration
-    mu0: float = 10.0          # initial penalty
-    mu_growth: float = 1.6     # geometric penalty growth per outer iteration
+    # penalty schedule tuned on-TPU (see PROGRESS notes): mu0=50/growth=2.5
+    # converges ~20x more of the cold-start pendulum H=5 problems than the
+    # textbook mu0=10/1.6 at identical cost per solve
+    mu0: float = 50.0          # initial penalty
+    mu_growth: float = 2.5     # geometric penalty growth per outer iteration
     newton_damping: float = 1e-6
     feas_tol: float = 1e-5
     n_linesearch: int = 4      # backtracking candidates (1, 1/2, 1/4, ...)
