@@ -1,0 +1,99 @@
+"""Batched parallel episodes — BASELINE config 3 (256 vmapped episodes).
+
+The reference runs ONE episode at a time on one CPU (SURVEY.md §2.9). Here a
+whole fleet of independent safe-learning episodes runs as a single XLA
+program: each lane owns its environment state, SafeMPC controller state and
+its own GP (a stacked pytree), the per-step model update is the O(n^2)
+incremental bordered-Cholesky append (models/gp.gp_append_point) instead of
+the reference's O(n^3) GPy re-factorization, and the lane axis shards over the
+device mesh (parallel/mesh.py) — embarrassingly parallel, zero collectives.
+
+This is the scale-out path behind the >=1000 parallel solves/sec north star;
+it is also exactly what ``__graft_entry__.dryrun_multichip`` compiles over the
+virtual mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from safe_exploration_tpu.envs.base import Env, env_step
+from safe_exploration_tpu.models.gp import gp_append_point
+from safe_exploration_tpu.models.ssm import GPSSM
+from safe_exploration_tpu.parallel.mesh import EPISODE_AXIS
+
+__all__ = ["stack_ssm", "run_batched_episodes"]
+
+
+def stack_ssm(ssm: GPSSM, batch: int) -> GPSSM:
+    """Replicate one SSM into a per-lane stacked pytree (each episode then
+    updates its own copy independently)."""
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), ssm)
+
+
+def run_batched_episodes(
+    env: Env,
+    get_action: Callable,
+    init_state: Callable,
+    ssm_batch: GPSSM,
+    x0s: jax.Array,
+    keys: jax.Array,
+    n_steps: int,
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    mesh=None,
+):
+    """Run ``batch`` independent episodes of ``n_steps`` as one device program.
+
+    Args:
+      ssm_batch: lane-stacked GPSSM (see :func:`stack_ssm`); each lane's GP
+        buffer must have >= n_steps free slots (incremental appends).
+      x0s: (batch, n_s) initial states.  keys: (batch,) PRNG keys.
+      mesh: optional Mesh — lane axis is sharded over it (SPMD).
+
+    Returns (traj, ssm_batch_final) where traj is a dict of (batch, n_steps, ...)
+    series: x, u, resid, feasible, violation, constraint_ok.
+    """
+    spec = env.spec
+
+    def one_lane(key, ssm: GPSSM, x0: jax.Array):
+        mstate = init_state()
+        step_keys = jax.random.split(key, n_steps)
+
+        def body(carry, k):
+            x, ms, s = carry
+            k_plan, k_step = jax.random.split(k)
+            u, ms, info = get_action(k_plan, ms, s, x)
+            u_app, x_next = env_step(env, k_step, x, u)
+            resid = x_next - (a @ x + b @ u_app)
+            z = jnp.concatenate([x, u_app])
+            # O(n^2) bordered-Cholesky append: the lane's model learns online
+            s = s.replace(gp=gp_append_point(s.gp, z, resid))
+            ok = jnp.all(spec.h_mat_obs @ x_next - spec.h_obs <= 0.0)
+            out = {
+                "x": x, "u": u_app, "resid": resid,
+                "feasible": info["feasible"], "violation": info["violation"],
+                "constraint_ok": ok,
+            }
+            return (x_next, ms, s), out
+
+        (x_fin, _, s_fin), traj = jax.lax.scan(
+            body, (x0, mstate, ssm), step_keys
+        )
+        return traj, s_fin, x_fin
+
+    fn = jax.vmap(one_lane)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(EPISODE_AXIS))
+        args = jax.device_put((keys, ssm_batch, x0s), shard)
+        fn = jax.jit(fn, in_shardings=shard, out_shardings=shard)
+        traj, ssm_fin, _ = fn(*args)
+    else:
+        traj, ssm_fin, _ = jax.jit(fn)(keys, ssm_batch, x0s)
+    return traj, ssm_fin
