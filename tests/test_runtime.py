@@ -1,0 +1,195 @@
+"""Runtime subsystem tests: exploration runner, MC uncertainty validation,
+metrics JSONL, exact checkpoint/resume, CLI dispatch, visualization.
+
+Parity model: the reference's integration smoke tests + sacred metric flow
+(SURVEY.md §4.4, §5.4-§5.5) — sized tiny so the whole file runs in seconds.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_exploration_tpu.runtime.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from safe_exploration_tpu.runtime.config import CONFIGS, ExperimentConfig
+from safe_exploration_tpu.runtime.metrics import AggregatedMetrics
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        name="tiny", solver="cem", n_safe=3, n_max=64,
+        cem_samples=32, cem_elites=8, cem_iterations=3,
+        n_ep=1, n_steps=4, n_init_samples=12, hyp_iters=10,
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+# ------------------------------------------------------------------ metrics --
+
+
+def test_metrics_jsonl_roundtrip(tmp_path):
+    m = AggregatedMetrics(str(tmp_path), run_name="r0")
+    m.log_scalar("violations", 0, step=0)
+    m.log_dict({"feasibility_rate": 1.0, "model_error": 0.01}, step=0)
+    m.flush()
+    m.log_scalar("violations", 1, step=1)
+    m.flush()
+    path = tmp_path / "r0.metrics.jsonl"
+    recs = [json.loads(line) for line in path.read_text().splitlines()]
+    assert len(recs) == 4
+    assert recs[0]["name"] == "violations"
+    assert m.summary()["violations"] == 1.0
+    assert m.history["violations"] == [(0, 0.0), (1, 1.0)]
+
+
+# --------------------------------------------------------------- checkpoint --
+
+
+def test_checkpoint_exact_roundtrip(tmp_path):
+    from safe_exploration_tpu.models import make_gp_ssm
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 2))
+    u = jax.random.normal(key, (8, 1))
+    y = jax.random.normal(key, (8, 2)) * 0.01
+    ssm = make_gp_ssm(
+        ("rbf", "rbf"), x, u, y, n_max=16,
+        l_mu=jnp.ones(2), l_sigma=jnp.ones(2),
+    )
+    state = {"ssm": ssm, "key": key, "episode": 3}
+    p = save_checkpoint(str(tmp_path / "ckpt_3.pkl"), state)
+    restored = load_checkpoint(p)
+    assert restored["episode"] == 3
+    np.testing.assert_array_equal(restored["ssm"].gp.beta, ssm.gp.beta)
+    np.testing.assert_array_equal(restored["ssm"].gp.chol, ssm.gp.chol)
+    assert restored["ssm"].gp.kern_types == ("rbf", "rbf")
+    # restored model predicts identically (exact resume)
+    from safe_exploration_tpu.models.ssm import ssm_predict
+
+    z = (jnp.asarray([0.1, 0.2]), jnp.asarray([0.3]))
+    np.testing.assert_array_equal(
+        ssm_predict(ssm, *z)[0], ssm_predict(restored["ssm"], *z)[0]
+    )
+
+
+def test_latest_checkpoint_selection(tmp_path):
+    for step in (1, 10, 2):
+        save_checkpoint(str(tmp_path / f"ckpt_{step}.pkl"), {"s": step})
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("ckpt_10.pkl")
+    assert latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+# -------------------------------------------------------------- exploration --
+
+
+def test_exploration_runner_gains_information():
+    from safe_exploration_tpu.runtime.config import build_experiment
+    from safe_exploration_tpu.runtime.exploration import run_exploration
+
+    cfg = _tiny_cfg(objective="exploration", task="exploration")
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    out = run_exploration(
+        exp["env"], exp["init_state"], exp["get_action"],
+        exp["a"], exp["b"], exp["k_fb"],
+        key=jax.random.PRNGKey(0), kern_types=exp["kern_types"],
+        n_max=cfg.n_max, l_mu=exp["l_mu"], l_sigma=exp["l_sigma"],
+        n_iterations=5, n_init_samples=10, opt_hyp_every=0, hyp_iters=10,
+    )
+    s = out["series"]
+    assert len(s["info_gain"]) == 5
+    assert all(g >= 0.0 for g in s["info_gain"])
+    assert sum(s["violations"]) == 0
+    assert s["n_data"][-1] == 15  # one transition learned per iteration
+
+
+# -------------------------------------------------------------- uncertainty --
+
+
+def test_uncertainty_runner_containment():
+    from safe_exploration_tpu.models import make_gp_ssm
+    from safe_exploration_tpu.models.ssm import estimate_lipschitz
+    from safe_exploration_tpu.runtime.config import build_experiment
+    from safe_exploration_tpu.runtime.episode import collect_initial_data
+    from safe_exploration_tpu.runtime.uncertainty import run_uncertainty_estimation
+
+    cfg = _tiny_cfg()
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    xs, us, resid = collect_initial_data(
+        exp["env"], k1, 20, exp["a"], exp["b"], exp["k_fb"]
+    )
+    ssm = make_gp_ssm(
+        exp["kern_types"], xs, us, resid, n_max=64,
+        l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], log_noise=-4.0,
+    )
+    ssm = estimate_lipschitz(ssm, ssm.gp.x)
+    out = run_uncertainty_estimation(
+        exp["env"], ssm, exp["a"], exp["b"], exp["k_fb"],
+        key=k2, x0=jnp.zeros(2, jnp.float64),
+        k_ff_all=jnp.zeros((3, 1), jnp.float64),
+        c_safety=2.5, n_rollouts=64,
+    )
+    # the tube is a high-confidence over-approximation: near-total containment
+    assert out["overall_containment"] >= 0.95
+    assert len(out["per_stage_containment"]) == 3
+
+
+# ---------------------------------------------------------------------- CLI --
+
+
+def test_cli_list_and_tiny_run(tmp_path, capsys):
+    from safe_exploration_tpu.runtime.main import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in CONFIGS:
+        assert name in out
+
+    rc = main([
+        "--config", "pendulum_episode", "--out", str(tmp_path),
+        "--set", "n_ep=1", "n_steps=3", "n_init_samples=10", "hyp_iters=10",
+        "cem_samples=32", "cem_elites=8", "cem_iterations=2",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "pendulum_episode.summary.json").read_text())
+    assert summary["metrics"]["violations"] == 0.0
+    assert (tmp_path / "pendulum_episode.metrics.jsonl").exists()
+
+
+def test_cli_rejects_unknown_config_and_field():
+    from safe_exploration_tpu.runtime.main import main
+
+    with pytest.raises(SystemExit):
+        main(["--config", "nope"])
+    with pytest.raises(SystemExit):
+        main(["--config", "pendulum_episode", "--set", "bogus=1"])
+
+
+# ------------------------------------------------------------- visualization --
+
+
+def test_visualization_smoke(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from safe_exploration_tpu.visualization import plot_ellipsoid_2d
+
+    fig, ax = plt.subplots()
+    plot_ellipsoid_2d(
+        jnp.asarray([0.1, 0.2]),
+        jnp.asarray([[0.04, 0.01], [0.01, 0.09]]),
+        ax=ax,
+    )
+    fig.savefig(tmp_path / "e.png")
+    plt.close(fig)
+    assert (tmp_path / "e.png").stat().st_size > 0
