@@ -115,6 +115,61 @@ def bench_gp_latency(n: int = 256, d: int = 3, e: int = 2):
     return chol_ms, pred_ms
 
 
+def bench_large_gp(n: int = 10240, m: int = 256, d: int = 7, e: int = 2):
+    """BASELINE config 4: N=10k inducing-point GP refit + predict latency."""
+    from safe_exploration_tpu.models.sparse_gp import (
+        sparse_gp_init,
+        sparse_gp_predict,
+        sparse_gp_refit,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, d), jnp.float32)
+    y = jax.random.normal(jax.random.fold_in(key, 1), (n, e), jnp.float32)
+    sgp = sparse_gp_init(("rbf",) * e, x, y, n_max=n, n_inducing=m)
+    refit = jax.jit(sparse_gp_refit)
+    predict = jax.jit(sparse_gp_predict)
+    z = jnp.zeros((d,), jnp.float32)
+    jax.block_until_ready(refit(sgp))
+    jax.block_until_ready(predict(sgp, z))
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = refit(sgp)
+    jax.block_until_ready(out)
+    refit_ms = (time.perf_counter() - t0) / reps * 1e3
+    t0 = time.perf_counter()
+    for _ in range(200):
+        out = predict(sgp, z)
+    jax.block_until_ready(out)
+    pred_us = (time.perf_counter() - t0) / 200 * 1e6
+    return refit_ms, pred_us
+
+
+def bench_pallas_chol(n: int = 512):
+    """Blocked Pallas Cholesky vs XLA's cholesky at GP-buffer size."""
+    from safe_exploration_tpu.ops.pallas import cholesky_blocked, on_tpu
+
+    key = jax.random.PRNGKey(0)
+    mmat = jax.random.normal(key, (n, n), jnp.float32)
+    a = mmat @ mmat.T + n * jnp.eye(n, dtype=jnp.float32)
+    results = {}
+    for name, f in [
+        ("pallas", jax.jit(cholesky_blocked)),
+        ("xla", jax.jit(jnp.linalg.cholesky)),
+    ]:
+        if name == "pallas" and not on_tpu():
+            results[name] = float("nan")
+            continue
+        jax.block_until_ready(f(a))
+        t0 = time.perf_counter()
+        for _ in range(50):
+            out = f(a)
+        jax.block_until_ready(out)
+        results[name] = (time.perf_counter() - t0) / 50 * 1e3
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -128,6 +183,8 @@ def main():
         args.batch, args.iters, args.n_max, args.n_data, args.n_safe
     )
     chol_ms, pred_ms = bench_gp_latency()
+    sgp_refit_ms, sgp_pred_us = bench_large_gp()
+    chol_tier = bench_pallas_chol()
 
     result = {
         "metric": "safe_mpc_solves_per_sec_pendulum_H5",
@@ -138,6 +195,10 @@ def main():
         "feasible_frac": round(feasible_frac, 3),
         "gp_refit_chol_ms_n256": round(chol_ms, 3),
         "gp_predict_jac_ms_n256": round(pred_ms, 3),
+        "sparse_gp_refit_ms_n10k_m256": round(sgp_refit_ms, 3),
+        "sparse_gp_predict_us_n10k": round(sgp_pred_us, 2),
+        "pallas_chol_ms_n512": round(chol_tier["pallas"], 3),
+        "xla_chol_ms_n512": round(chol_tier["xla"], 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
