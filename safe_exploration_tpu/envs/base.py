@@ -24,7 +24,8 @@ from flax import struct
 from safe_exploration_tpu.ops.linalg import expm_discretize
 
 __all__ = ["EnvSpec", "Env", "env_reset", "env_step", "linearize_discretize",
-           "rk4_step"]
+           "rk4_step", "normalize_state", "unnormalize_state",
+           "normalize_control", "unnormalize_control"]
 
 DynamicsFn = Callable[[jax.Array, jax.Array], jax.Array]  # (x, u) -> xdot
 
@@ -130,6 +131,28 @@ def linearize_discretize(
     a_c = jax.jacfwd(lambda xx: env.dynamics(xx, u_eq))(x_eq)
     b_c = jax.jacfwd(lambda uu: env.dynamics(x_eq, uu))(u_eq)
     return expm_discretize(a_c, b_c, s.dt)
+
+
+def normalize_state(spec: EnvSpec, x: jax.Array) -> jax.Array:
+    """States scaled to ~[-1, 1] by the spec's ``norm_x``.
+
+    Parity: reference ``Environment.normalize`` (SURVEY.md §2.7) — the
+    reference trains its GP on normalized inputs; here normalization is an
+    explicit pure op callers apply when conditioning is an issue.
+    """
+    return x / spec.norm_x
+
+
+def unnormalize_state(spec: EnvSpec, x: jax.Array) -> jax.Array:
+    return x * spec.norm_x
+
+
+def normalize_control(spec: EnvSpec, u: jax.Array) -> jax.Array:
+    return u / spec.norm_u
+
+
+def unnormalize_control(spec: EnvSpec, u: jax.Array) -> jax.Array:
+    return u * spec.norm_u
 
 
 def box_polytope(lo: jax.Array, hi: jax.Array) -> tuple[jax.Array, jax.Array]:

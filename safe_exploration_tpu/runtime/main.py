@@ -134,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--out", default=None, help="output directory")
     parser.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                         help="config field overrides")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the run to DIR "
+                             "(view with TensorBoard / xprof; SURVEY.md §5.1)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -159,7 +162,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     cfg = _apply_overrides(CONFIGS[args.config], args.set)
     dtype = jnp.float64 if args.x64 else jnp.float32
-    summary = run_experiment(cfg, out_dir=args.out, dtype=dtype)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            summary = run_experiment(cfg, out_dir=args.out, dtype=dtype)
+    else:
+        summary = run_experiment(cfg, out_dir=args.out, dtype=dtype)
     print(json.dumps(
         {k: v for k, v in summary.items() if k != "config"}, indent=2, default=str
     ))
