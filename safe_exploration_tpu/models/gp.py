@@ -113,6 +113,23 @@ def _chol_psd(k: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(k)
 
 
+def _uniform_kern(gp: GP) -> str | None:
+    """The single kernel type if all output dims share one, else None.
+
+    All-same is the common case (configs default to per-dim RBF); it unlocks
+    the vmapped-over-dims fast paths below, which emit ONE batched Gram /
+    Cholesky / solve instead of e copies — smaller solver graphs and XLA's
+    batched kernels (the analog of the reference's ssm_pytorch BATCHED
+    multi-output GP, SURVEY.md §2.3).
+    """
+    return gp.kern_types[0] if len(set(gp.kern_types)) == 1 else None
+
+
+def _stack_params(params: tuple) -> dict:
+    """Stack the per-dim param dicts into one dict of (e, ...) arrays."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+
+
 def gp_refit(gp: GP) -> GP:
     """Recompute posterior factors (chol, beta) for the current data + params.
 
@@ -121,6 +138,27 @@ def gp_refit(gp: GP) -> GP:
     Gram build and factorization run as Pallas kernels (ops/pallas); this path
     is never differentiated (hyperopt's gp_nll keeps the XLA cholesky).
     """
+    kt = _uniform_kern(gp)
+    if kt is not None:
+        def per_dim(p, log_noise_d, yd):
+            noise_var = jnp.exp(2.0 * log_noise_d)
+            if kt == "rbf" and _use_pallas(gp.n_max, gp.x.dtype):
+                from safe_exploration_tpu.ops.pallas import rbf_gram_masked
+
+                k = rbf_gram_masked(p, gp.x, gp.mask, noise_var)
+            else:
+                k = _masked_gram(kt, p, gp.x, gp.mask, noise_var)
+            l = _chol_psd(k)
+            ym = gp.mask * yd
+            z = jax.scipy.linalg.solve_triangular(l, ym, lower=True)
+            b = jax.scipy.linalg.solve_triangular(l.T, z, lower=False)
+            return l, b
+
+        chol, beta = jax.vmap(per_dim)(
+            _stack_params(gp.params), gp.log_noise, gp.y.T
+        )
+        return gp.replace(chol=chol, beta=beta)
+
     chols = []
     betas = []
     for d in range(gp.n_out):
@@ -261,8 +299,20 @@ def gp_nll(params: tuple, log_noise: jax.Array, gp: GP) -> jax.Array:
     (which uses the true count). Parity: GPy's objective in
     ``SimpleGPModel.train`` (SURVEY.md §2.3).
     """
-    total = jnp.asarray(0.0, gp.x.dtype)
     n_eff = jnp.sum(gp.mask)
+    kt = _uniform_kern(gp)
+    if kt is not None:
+        def per_dim(p, log_noise_d, yd):
+            noise_var = jnp.exp(2.0 * log_noise_d)
+            k = _masked_gram(kt, p, gp.x, gp.mask, noise_var)
+            l = jnp.linalg.cholesky(k)
+            z = jax.scipy.linalg.solve_triangular(l, gp.mask * yd, lower=True)
+            return 0.5 * jnp.dot(z, z) + jnp.sum(jnp.log(jnp.diagonal(l)))
+
+        per = jax.vmap(per_dim)(_stack_params(params), log_noise, gp.y.T)
+        return jnp.sum(per) + gp.n_out * 0.5 * n_eff * jnp.log(2.0 * jnp.pi)
+
+    total = jnp.asarray(0.0, gp.x.dtype)
     for d in range(gp.n_out):
         noise_var = jnp.exp(2.0 * log_noise[d])
         k = _masked_gram(gp.kern_types[d], params[d], gp.x, gp.mask, noise_var)
@@ -321,6 +371,17 @@ def gp_predict(gp: GP, z: jax.Array) -> tuple[jax.Array, jax.Array]:
     (SURVEY.md §2.3) — mean is k(z,X) beta (O(n)), variance is
     k(z,z) - ||L^{-1} k(z,X)||^2 (O(n^2)).
     """
+    kt = _uniform_kern(gp)
+    if kt is not None:
+        def per_dim(p, chol_d, beta_d):
+            kv = gram(kt, p, z[None, :], gp.x)[0] * gp.mask
+            mean = jnp.dot(kv, beta_d)
+            v = jax.scipy.linalg.solve_triangular(chol_d, kv, lower=True)
+            kzz = kernel_diag(kt, p, z[None, :])[0]
+            return mean, jnp.maximum(kzz - jnp.dot(v, v), 1e-12)
+
+        return jax.vmap(per_dim)(_stack_params(gp.params), gp.chol, gp.beta)
+
     means, vars_ = zip(*(_predict_dim(gp, d, z) for d in range(gp.n_out)))
     return jnp.stack(means), jnp.stack(vars_)
 

@@ -151,3 +151,32 @@ def test_batch_predict_matches_loop(rng):
         m, v = gp_predict(gp, zs[i])
         np.testing.assert_allclose(np.asarray(mb[i]), np.asarray(m), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(vb[i]), np.asarray(v), rtol=1e-12)
+
+
+def test_vmapped_fast_path_equals_per_dim_loop(rng):
+    """The uniform-kernel vmap fast paths (refit/predict/nll) must be exactly
+    the per-dim loop math (SURVEY.md §2.3 batched multi-output analog)."""
+    from safe_exploration_tpu.models.gp import _predict_dim
+
+    x, y = make_data(rng, n=14)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=24)   # uniform -> fast path
+    z = jnp.asarray(rng.standard_normal(3))
+    m_fast, v_fast = gp_predict(gp, z)
+    for d in range(2):
+        m_d, v_d = _predict_dim(gp, d, z)
+        np.testing.assert_allclose(np.asarray(m_fast[d]), np.asarray(m_d), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(v_fast[d]), np.asarray(v_d), rtol=1e-12)
+
+
+def test_mixed_kernel_types_loop_path(rng):
+    """Mixed per-dim kernels (the reference's kern_types menu) use the general
+    loop path end-to-end: refit, predict, nll, fit."""
+    x, y = make_data(rng, n=16)
+    gp = gp_init(("rbf", "lin_rbf"), x, y, n_max=24)
+    z = jnp.asarray(rng.standard_normal(3))
+    mean, var = gp_predict(gp, z)
+    assert mean.shape == (2,) and bool(jnp.all(var > 0))
+    nll = float(gp_nll(gp.params, gp.log_noise, gp))
+    assert np.isfinite(nll)
+    gp2 = gp_fit(gp, iters=30)
+    assert float(gp_nll(gp2.params, gp2.log_noise, gp2)) <= nll + 1e-6
