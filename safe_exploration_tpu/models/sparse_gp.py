@@ -29,6 +29,8 @@ from safe_exploration_tpu.models.kernels import gram, init_kernel_params, kernel
 
 __all__ = [
     "SparseGP",
+    "SparseGPSSM",
+    "make_sparse_gp_ssm",
     "sparse_gp_init",
     "sparse_gp_refit",
     "sparse_gp_update_data",
@@ -238,3 +240,45 @@ def sparse_gp_fit(sgp: SparseGP, *, iters: int = 200, lr: float = 5e-2) -> Spars
 
     (theta, _), _ = jax.lax.scan(step, (theta0, state0), None, length=iters)
     return sparse_gp_refit(sgp.replace(params=theta[0], log_noise=theta[1]))
+
+
+@struct.dataclass
+class SparseGPSSM:
+    """Sparse-GP-backed state-space model (the BASELINE config-4 tier).
+
+    Satisfies the SSM protocol (``predict_latent`` / ``noise_var`` + Lipschitz
+    constants), so the SAME reachability engine and planners consume it — this
+    is how the N=10k inducing-point GP sits inside the MPC loop. Parity:
+    reference ``SimpleGPModel`` with a ``Z`` inducing set (SURVEY.md §2.3).
+    """
+
+    sgp: SparseGP
+    l_mu: jax.Array     # (n_s,)
+    l_sigma: jax.Array  # (n_s,)
+
+    def predict_latent(self, zq: jax.Array):
+        return sparse_gp_predict(self.sgp, zq)
+
+    def noise_var(self) -> jax.Array:
+        return jnp.exp(2.0 * self.sgp.log_noise)
+
+
+def make_sparse_gp_ssm(
+    kern_types: tuple,
+    x: jax.Array,
+    u: jax.Array,
+    y: jax.Array,
+    *,
+    n_max: int,
+    n_inducing: int,
+    l_mu: jax.Array,
+    l_sigma: jax.Array,
+    log_noise: float = -2.3,
+) -> SparseGPSSM:
+    """Build a sparse-GP SSM from transition data (x, u) -> residual y."""
+    z = jnp.concatenate([x, u], axis=-1)
+    sgp = sparse_gp_init(
+        kern_types, z, y, n_max=n_max, n_inducing=n_inducing,
+        log_noise=log_noise,
+    )
+    return SparseGPSSM(sgp=sgp, l_mu=l_mu, l_sigma=l_sigma)

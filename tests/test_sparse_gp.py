@@ -95,3 +95,48 @@ def test_predict_jacobian_through_sparse(rng):
         dz = jnp.zeros(3).at[i].set(eps)
         fd = (sparse_gp_predict(sgp, zq + dz)[0] - sparse_gp_predict(sgp, zq - dz)[0]) / (2 * eps)
         np.testing.assert_allclose(np.asarray(jac[:, i]), np.asarray(fd), rtol=1e-4, atol=1e-8)
+
+
+def test_sparse_ssm_plugs_into_reachability_and_cem(rng):
+    """BASELINE config 4: the inducing-point GP sits inside the MPC loop via
+    the SSM protocol — same reachability engine and planner as the exact GP."""
+    import jax
+
+    from safe_exploration_tpu.envs import linearize_discretize, make_pendulum
+    from safe_exploration_tpu.models.sparse_gp import make_sparse_gp_ssm
+    from safe_exploration_tpu.ops.linalg import dlqr
+    from safe_exploration_tpu.reachability.onestep import multistep_reachability
+    from safe_exploration_tpu.solvers.cem import CemConfig, cem_plan
+    from safe_exploration_tpu.solvers.costs import tracking_cost
+
+    n = 200
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 2)))
+    u = jnp.asarray(rng.uniform(-1, 1, (n, 1)))
+    y = 1e-3 * jnp.asarray(rng.standard_normal((n, 2)))
+    ssm = make_sparse_gp_ssm(
+        ("rbf", "rbf"), x, u, y, n_max=256, n_inducing=32,
+        l_mu=jnp.full((2,), 0.05), l_sigma=jnp.full((2,), 0.02),
+        log_noise=-4.0,
+    )
+    env = make_pendulum(dtype=jnp.float64)
+    spec = env.spec
+    a, b = linearize_discretize(env)
+    k, _ = dlqr(a, b, jnp.eye(2, dtype=jnp.float64), jnp.eye(1, dtype=jnp.float64))
+    k_fb = -k
+    k_fb_all = jnp.tile(k_fb[None], (3, 1, 1))
+    p_traj, q_traj, _ = multistep_reachability(
+        ssm, jnp.asarray([0.05, 0.0], jnp.float64),
+        jnp.zeros((3, 1), jnp.float64), k_fb_all, a, b, 2.0,
+    )
+    assert bool(jnp.all(jnp.isfinite(p_traj)))
+    assert bool(jnp.all(jnp.linalg.eigvalsh(q_traj[-1]) >= 0))
+
+    cfg = CemConfig(n_safe=3, n_samples=32, n_elites=8, n_iterations=3)
+    k_ff, feasible, viol, _ = jax.jit(
+        lambda key, x0: cem_plan(
+            key, ssm, x0, k_fb, a, b, spec.u_min, spec.u_max,
+            spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+            2.0, tracking_cost(spec.target), cfg,
+        )
+    )(jax.random.PRNGKey(0), jnp.asarray([0.02, 0.0], jnp.float64))
+    assert bool(feasible), float(viol)
