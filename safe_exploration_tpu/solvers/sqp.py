@@ -189,12 +189,12 @@ def solve_safempc_nlp(
         shifted = jnp.maximum(lam + mu * g, 0.0)
         return objective(u) + (1.0 / (2.0 * mu)) * jnp.sum(shifted * shifted - lam * lam)
 
-    al_grad = jax.grad(al_value)
+    al_value_grad = jax.value_and_grad(al_value)
     al_hess = jax.hessian(al_value)
 
     def inner_newton(u, lam, mu):
         def newton_step(u, _):
-            g = al_grad(u, lam, mu)
+            f0, g = al_value_grad(u, lam, mu)
             h = al_hess(u, lam, mu)
             # Levenberg damping keeps the step well-defined when H is indefinite
             # (AL Hessians of active-set switches are only PSD near the solution).
@@ -219,7 +219,7 @@ def solve_safempc_nlp(
             vals = jax.vmap(lambda uu: al_value(uu, lam, mu))(cands)
             vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
             best = jnp.argmin(vals)
-            u_new = jnp.where(vals[best] < al_value(u, lam, mu), cands[best], u)
+            u_new = jnp.where(vals[best] < f0, cands[best], u)
             return u_new, None
 
         u_out, _ = jax.lax.scan(newton_step, u, None, length=cfg.n_inner)
