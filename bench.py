@@ -87,6 +87,45 @@ def bench_solves(batch: int, iters: int, n_max: int, n_data: int, n_safe: int):
     return solves_per_sec, feasible_frac
 
 
+def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
+                      n_safe: int):
+    """Steady-state receding-horizon throughput: warm-started re-solves with a
+    short budget (the regime an MPC actually runs in — the reference warm
+    starts IPOPT the same way, SURVEY.md §2.5)."""
+    from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
+    from safe_exploration_tpu.solvers.sqp import SqpConfig, make_sqp_planner
+
+    dtype = jnp.float32
+    solve_cold, ssm, x0s, warm0 = build(batch, n_max, n_data, n_safe, dtype)
+    cold = solve_cold(x0s, warm0)
+    jax.block_until_ready(cold)
+    warm = cold[0]  # previous optimal plans
+
+    exp = build_experiment(
+        ExperimentConfig(name="warm", solver="sqp", n_safe=n_safe, n_max=n_max),
+        dtype=dtype,
+    )
+    planner = make_sqp_planner(
+        exp["env"], exp["k_fb"], exp["a"], exp["b"], exp["cost_fn"],
+        SqpConfig(n_safe=n_safe, c_safety=2.0, n_outer=4, n_inner=3),
+    )
+    solve_warm = jax.jit(jax.vmap(
+        lambda x, w: planner(jax.random.PRNGKey(0), ssm, x, w)
+    ))
+    # the next MPC step: state moved a little, plan shifted by one stage
+    x_next = x0s * 0.97
+    warm_shift = jnp.concatenate([warm[:, 1:], warm[:, -1:]], axis=1)
+    out = solve_warm(x_next, warm_shift)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve_warm(x_next, warm_shift)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    feas = float(jnp.mean(out[1].astype(jnp.float32)))
+    return batch * iters / dt, feas
+
+
 def bench_gp_latency(n: int = 256, d: int = 3, e: int = 2):
     """Secondary metric: GP refit (Cholesky) + predict latency."""
     from safe_exploration_tpu.models import gp_init, gp_predict_jac, gp_refit
@@ -182,6 +221,9 @@ def main():
     solves_per_sec, feasible_frac = bench_solves(
         args.batch, args.iters, args.n_max, args.n_data, args.n_safe
     )
+    warm_sps, warm_feas = bench_warm_solves(
+        args.batch, args.iters, args.n_max, args.n_data, args.n_safe
+    )
     chol_ms, pred_ms = bench_gp_latency()
     sgp_refit_ms, sgp_pred_us = bench_large_gp()
     chol_tier = bench_pallas_chol()
@@ -193,6 +235,8 @@ def main():
         "vs_baseline": round(solves_per_sec / 1000.0, 3),
         "batch": args.batch,
         "feasible_frac": round(feasible_frac, 3),
+        "warm_solves_per_sec": round(warm_sps, 1),
+        "warm_feasible_frac": round(warm_feas, 3),
         "gp_refit_chol_ms_n256": round(chol_ms, 3),
         "gp_predict_jac_ms_n256": round(pred_ms, 3),
         "sparse_gp_refit_ms_n10k_m256": round(sgp_refit_ms, 3),
