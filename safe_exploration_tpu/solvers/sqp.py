@@ -64,6 +64,12 @@ class SqpConfig(NamedTuple):
     n_perf: int = 0
     r_shared: int = 1
     perf_method: str = "taylor"  # "taylor" | "mean_equivalent"
+    # jointly optimize per-stage feedback gains (reference safempc_simple.py's
+    # optional k_fb decision variables, SURVEY.md §2.5 [M]): decision vars gain
+    # a per-stage delta dK_t on the LQR base gain, box-bounded by k_fb_bound.
+    # dK always cold-starts at 0 (the warm-start protocol covers controls only).
+    opt_k_fb: bool = False
+    k_fb_bound: float = 2.0
 
 
 def _build_constraint_fn(
@@ -88,18 +94,26 @@ def _build_constraint_fn(
     joint safety+performance NLP structure (SURVEY.md §2.5).
     """
     t_len, n_u = k_fb_all.shape[0], k_fb_all.shape[1]
+    n_s = k_fb_all.shape[2]
     r = min(cfg.r_shared, t_len, cfg.n_perf) if cfg.n_perf > 0 else 0
     n_safe_flat = t_len * n_u
+    n_ctrl_flat = sqp_warm_len(cfg) * n_u   # k_ff + free perf controls
 
     def split(u_flat):
         k_ff_all = u_flat[:n_safe_flat].reshape(t_len, n_u)
-        u_perf_free = u_flat[n_safe_flat:].reshape(-1, n_u)
+        u_perf_free = u_flat[n_safe_flat:n_ctrl_flat].reshape(-1, n_u)
         return k_ff_all, u_perf_free
+
+    def stage_gains(u_flat):
+        if not cfg.opt_k_fb:
+            return k_fb_all
+        dk = u_flat[n_ctrl_flat:].reshape(t_len, n_u, n_s)
+        return k_fb_all + dk
 
     def rollout(u_flat):
         k_ff_all, _ = split(u_flat)
-        return multistep_reachability(ssm, x0, k_ff_all, k_fb_all, a, b,
-                                      cfg.c_safety)
+        return multistep_reachability(ssm, x0, k_ff_all, stage_gains(u_flat),
+                                      a, b, cfg.c_safety)
 
     if cfg.n_perf > 0:
         from safe_exploration_tpu.reachability.propagation import (
@@ -178,10 +192,15 @@ def solve_safempc_nlp(
     )
 
     t_total = sqp_warm_len(cfg)
+    n_s = x0.shape[0]
     lo = jnp.tile(u_min, t_total)
     hi = jnp.tile(u_max, t_total)
+    if cfg.opt_k_fb:
+        n_dk = t_len * n_u * n_s
+        lo = jnp.concatenate([lo, jnp.full((n_dk,), -cfg.k_fb_bound, dtype)])
+        hi = jnp.concatenate([hi, jnp.full((n_dk,), cfg.k_fb_bound, dtype)])
     n_con = (t_len * h_obs.shape[0]) + h_safe.shape[0]
-    n_var = t_total * n_u
+    n_var = lo.shape[0]
 
     def al_value(u, lam, mu):
         """Rockafellar augmented Lagrangian for inequalities g(u) <= 0."""
@@ -233,7 +252,10 @@ def solve_safempc_nlp(
         mu = mu * cfg.mu_growth
         return (u, lam, mu), None
 
-    u0 = jnp.clip(u_init.reshape(-1), lo, hi)
+    u0 = u_init.reshape(-1)
+    if cfg.opt_k_fb:
+        u0 = jnp.concatenate([u0, jnp.zeros((t_len * n_u * n_s,), dtype)])
+    u0 = jnp.clip(u0, lo, hi)
     lam0 = jnp.zeros((n_con,), dtype)
     (u_fin, lam_fin, _), _ = jax.lax.scan(
         outer_step, (u0, lam0, jnp.asarray(cfg.mu0, dtype)), None, length=cfg.n_outer
@@ -242,12 +264,15 @@ def solve_safempc_nlp(
     g_fin = constraints(u_fin)
     violation = jnp.sum(jnp.maximum(g_fin, 0.0))
     feasible = violation <= cfg.feas_tol
-    u_mat = u_fin.reshape(t_total, n_u)
+    n_ctrl_flat = t_total * n_u
+    u_mat = u_fin[:n_ctrl_flat].reshape(t_total, n_u)
     info = {
         "cost": objective(u_fin),
         "max_constraint": jnp.max(g_fin),
         "warm_next": u_mat,
     }
+    if cfg.opt_k_fb:
+        info["k_fb_delta"] = u_fin[n_ctrl_flat:].reshape(t_len, n_u, n_s)
     return u_mat[:t_len], feasible, violation, info
 
 

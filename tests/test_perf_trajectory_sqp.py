@@ -114,3 +114,28 @@ def test_mean_equivalent_method_also_solves(perf_exp):
     )
     assert bool(feasible), float(violation)
     assert bool(jnp.isfinite(info["cost"]))
+
+
+def test_opt_k_fb_joint_gain_optimization(perf_exp):
+    """SURVEY.md §2.5 [M]: optional joint optimization of per-stage feedback
+    gains. More decision freedom must not hurt the achieved violation, and the
+    gain deltas must stay inside their box."""
+    from safe_exploration_tpu.envs import make_pendulum
+    from safe_exploration_tpu.runtime.config import build_experiment
+    from safe_exploration_tpu.solvers.sqp import make_sqp_planner
+
+    cfg, exp, ssm = perf_exp
+    x0 = jnp.asarray([0.12, 0.3], jnp.float64)   # nontrivial start
+
+    base_cfg = SqpConfig(n_safe=3, c_safety=2.0, n_outer=6, n_inner=4)
+    fb_cfg = base_cfg._replace(opt_k_fb=True, k_fb_bound=1.0)
+    mk = lambda scfg: make_sqp_planner(
+        exp["env"], exp["k_fb"], exp["a"], exp["b"], exp["cost_fn"], scfg
+    )
+    warm = jnp.zeros((3, 1), jnp.float64)
+    k_base, feas_b, viol_b, info_b = mk(base_cfg)(None, ssm, x0, warm)
+    k_fb_opt, feas_f, viol_f, info_f = mk(fb_cfg)(None, ssm, x0, warm)
+    assert "k_fb_delta" in info_f and info_f["k_fb_delta"].shape == (3, 1, 2)
+    assert bool(jnp.all(jnp.abs(info_f["k_fb_delta"]) <= 1.0 + 1e-9))
+    assert float(viol_f) <= float(viol_b) + 1e-8
+    assert bool(jnp.all(jnp.isfinite(k_fb_opt)))
