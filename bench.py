@@ -93,33 +93,46 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
     short budget (the regime an MPC actually runs in — the reference warm
     starts IPOPT the same way, SURVEY.md §2.5)."""
     from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
-    from safe_exploration_tpu.solvers.sqp import SqpConfig, make_sqp_planner
+    from safe_exploration_tpu.solvers.sqp import (
+        SqpConfig,
+        shift_duals,
+        solve_safempc_nlp,
+    )
 
     dtype = jnp.float32
     solve_cold, ssm, x0s, warm0 = build(batch, n_max, n_data, n_safe, dtype)
     cold = solve_cold(x0s, warm0)
     jax.block_until_ready(cold)
-    warm = cold[0]  # previous optimal plans
+    warm = cold[0]          # previous optimal plans
+    lam = cold[3]["lam"]    # previous multipliers (dual warm start)
 
     exp = build_experiment(
         ExperimentConfig(name="warm", solver="sqp", n_safe=n_safe, n_max=n_max),
         dtype=dtype,
     )
-    planner = make_sqp_planner(
-        exp["env"], exp["k_fb"], exp["a"], exp["b"], exp["cost_fn"],
-        SqpConfig(n_safe=n_safe, c_safety=2.0, n_outer=4, n_inner=3),
-    )
-    solve_warm = jax.jit(jax.vmap(
-        lambda x, w: planner(jax.random.PRNGKey(0), ssm, x, w)
-    ))
-    # the next MPC step: state moved a little, plan shifted by one stage
+    spec = exp["env"].spec
+    scfg = SqpConfig(n_safe=n_safe, c_safety=2.0, n_outer=4, n_inner=3)
+
+    def one_warm(x, w, lm):
+        return solve_safempc_nlp(
+            ssm, x, w, exp["k_fb"], exp["a"], exp["b"],
+            spec.u_min, spec.u_max,
+            spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+            exp["cost_fn"], scfg, lam_init=lm,
+        )
+
+    solve_warm = jax.jit(jax.vmap(one_warm))
+    # the next MPC step: state moved a little, plan shifted by one stage,
+    # primal AND dual warm starts carried over (duals stage-shifted too)
     x_next = x0s * 0.97
     warm_shift = jnp.concatenate([warm[:, 1:], warm[:, -1:]], axis=1)
-    out = solve_warm(x_next, warm_shift)
+    n_obs = spec.h_obs.shape[0]
+    lam = jax.vmap(lambda l: shift_duals(l, n_safe, n_obs))(lam)
+    out = solve_warm(x_next, warm_shift, lam)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = solve_warm(x_next, warm_shift)
+        out = solve_warm(x_next, warm_shift, lam)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     feas = float(jnp.mean(out[1].astype(jnp.float32)))

@@ -129,10 +129,16 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
                 cfg.c_safety, cost_fn, cem_cfg, warm_mean,
             )
 
-    elif cfg.solver == "sqp":
+    n_duals = 0
+    dual_shift = None
+    if cfg.solver == "sqp":
+        from functools import partial
+
         from safe_exploration_tpu.solvers.sqp import (
             SqpConfig,
             make_sqp_planner,
+            shift_duals,
+            sqp_n_duals,
             sqp_warm_len,
         )
 
@@ -144,11 +150,16 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         )
         planner = make_sqp_planner(env, k_fb, a, b, cost_fn, sqp_cfg)
         warm_len = sqp_warm_len(sqp_cfg)
-    else:
+        n_duals = sqp_n_duals(env, sqp_cfg)
+        dual_shift = partial(
+            shift_duals, n_safe=cfg.n_safe, n_obs=spec.h_obs.shape[0]
+        )
+    elif cfg.solver != "cem":
         raise ValueError(f"unknown solver {cfg.solver}")
 
     init_state, get_action, _, _ = make_safempc(
-        env, mpc_cfg, planner, warm_len=warm_len
+        env, mpc_cfg, planner, warm_len=warm_len, n_duals=n_duals,
+        dual_shift=dual_shift,
     )
     kern_types = _kern_tuple(cfg, spec.n_s)
     return {

@@ -49,7 +49,8 @@ class SafeMPCState:
     p_plan: jax.Array      # (T, n_s) centers at which each stored control applies
     plan_idx: jax.Array    # () int32: next stored stage to execute on failure (T = exhausted)
     n_fail: jax.Array      # () int32: consecutive infeasible solves
-    warm_mean: jax.Array   # (T, n_u) planner warm start (shifted previous solution)
+    warm_mean: jax.Array   # (n_warm, n_u) planner warm start (shifted previous solution)
+    lam: jax.Array         # (n_duals,) dual warm start (zeros when unused)
 
 
 def make_safempc(
@@ -57,6 +58,8 @@ def make_safempc(
     cfg: SafeMPCConfig,
     planner: PlannerFn,
     warm_len: int | None = None,
+    n_duals: int = 0,
+    dual_shift: Callable | None = None,
 ):
     """Build the SafeMPC pure functions for one environment.
 
@@ -64,6 +67,11 @@ def make_safempc(
     n_safe for safety-only planners, and n_safe + (n_perf - r_shared) when the
     planner carries a joint performance trajectory (solvers/sqp.sqp_warm_len);
     planners return the matching full decision matrix as ``info['warm_next']``.
+
+    ``n_duals`` > 0 enables dual warm-starting: the planner is called as
+    ``planner(key, ssm, x0, warm, lam)`` and must return ``info['lam']``; the
+    carried multipliers keep constraints active across receding-horizon
+    re-solves (measured: short-budget warm solves are infeasible without it).
 
     Returns (init_state, get_action, k_fb, (a, b)):
       * ``init_state() -> SafeMPCState``
@@ -95,13 +103,23 @@ def make_safempc(
             plan_idx=jnp.asarray(t_len, jnp.int32),  # nothing stored yet
             n_fail=jnp.asarray(0, jnp.int32),
             warm_mean=jnp.zeros((n_warm, n_u), dtype),
+            lam=jnp.zeros((n_duals,), dtype),
         )
 
     def _shift_warm(k_ff_all: jax.Array) -> jax.Array:
         return jnp.concatenate([k_ff_all[1:], jnp.zeros((1, n_u), dtype)], axis=0)
 
     def get_action(key, state: SafeMPCState, ssm: GPSSM, x: jax.Array):
-        k_ff_new, feasible, violation, pinfo = planner(key, ssm, x, state.warm_mean)
+        if n_duals > 0:
+            k_ff_new, feasible, violation, pinfo = planner(
+                key, ssm, x, state.warm_mean, state.lam
+            )
+            lam_next = pinfo["lam"]
+        else:
+            k_ff_new, feasible, violation, pinfo = planner(
+                key, ssm, x, state.warm_mean
+            )
+            lam_next = state.lam
         warm_next = pinfo.get("warm_next", k_ff_new)
 
         def on_success(_):
@@ -118,6 +136,7 @@ def make_safempc(
                 plan_idx=jnp.asarray(1, jnp.int32),
                 n_fail=jnp.asarray(0, jnp.int32),
                 warm_mean=_shift_warm(warm_next),
+                lam=dual_shift(lam_next) if dual_shift is not None else lam_next,
             )
             return u, new_state
 
@@ -136,6 +155,8 @@ def make_safempc(
                 plan_idx=jnp.minimum(state.plan_idx + 1, t_len),
                 n_fail=state.n_fail + 1,
                 warm_mean=_shift_warm(state.warm_mean),
+                # decay rather than keep: a failed solve's duals are stale
+                lam=0.5 * state.lam,
             )
             return u, new_state
 

@@ -39,7 +39,8 @@ from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.reachability.onestep import multistep_reachability
 from safe_exploration_tpu.reachability.safety import lin_ellipsoid_safety_distance
 
-__all__ = ["SqpConfig", "solve_safempc_nlp", "make_sqp_planner", "sqp_warm_len"]
+__all__ = ["SqpConfig", "solve_safempc_nlp", "make_sqp_planner", "sqp_warm_len",
+           "sqp_n_duals", "shift_duals"]
 
 
 class SqpConfig(NamedTuple):
@@ -170,16 +171,19 @@ def solve_safempc_nlp(
     h_safe: jax.Array,
     cost_fn: Callable,
     cfg: SqpConfig,
+    lam_init: jax.Array | None = None,
 ):
     """Solve one safety(+performance) NLP.
 
     Returns (k_ff (n_safe, n_u), feasible, violation, info); ``info`` carries
     the FULL decision matrix as ``warm_next`` (n_warm, n_u) for the shifted
-    warm start, and the final objective value.
+    warm start, the final multipliers as ``lam`` (dual warm start for the
+    next receding-horizon solve — this is what lets a short-budget warm solve
+    keep constraints active), and the final objective value.
 
     ``u_init`` is the warm start (shifted previous solution — the same
     warm-start scheme as the reference NLP, SURVEY.md §2.5); its row count is
-    ``sqp_warm_len(cfg)``.
+    ``sqp_warm_len(cfg)``. ``lam_init`` optionally warm-starts the duals.
     """
     t_len = cfg.n_safe
     n_u = u_min.shape[0]
@@ -256,7 +260,7 @@ def solve_safempc_nlp(
     if cfg.opt_k_fb:
         u0 = jnp.concatenate([u0, jnp.zeros((t_len * n_u * n_s,), dtype)])
     u0 = jnp.clip(u0, lo, hi)
-    lam0 = jnp.zeros((n_con,), dtype)
+    lam0 = jnp.zeros((n_con,), dtype) if lam_init is None else lam_init
     (u_fin, lam_fin, _), _ = jax.lax.scan(
         outer_step, (u0, lam0, jnp.asarray(cfg.mu0, dtype)), None, length=cfg.n_outer
     )
@@ -270,6 +274,7 @@ def solve_safempc_nlp(
         "cost": objective(u_fin),
         "max_constraint": jnp.max(g_fin),
         "warm_next": u_mat,
+        "lam": lam_fin,
     }
     if cfg.opt_k_fb:
         info["k_fb_delta"] = u_fin[n_ctrl_flat:].reshape(t_len, n_u, n_s)
@@ -285,18 +290,37 @@ def make_sqp_planner(
     cfg: SqpConfig,
 ):
     """Wrap the NLP solve in the SafeMPC planner protocol
-    (``planner(key, ssm, x0, warm_mean) -> (k_ff, feasible, violation, info)``).
-    The PRNG key is unused (deterministic solver) but kept for seam parity with
-    the CEM planner."""
+    (``planner(key, ssm, x0, warm_mean[, lam]) -> (k_ff, feasible, violation,
+    info)``). The PRNG key is unused (deterministic solver) but kept for seam
+    parity with the CEM planner; the optional ``lam`` is the dual warm start
+    (see ``sqp_n_duals``)."""
     spec = env.spec
 
-    def planner(key, ssm: GPSSM, x0: jax.Array, warm_mean: jax.Array):
+    def planner(key, ssm: GPSSM, x0: jax.Array, warm_mean: jax.Array,
+                lam: jax.Array | None = None):
         del key
         return solve_safempc_nlp(
             ssm, x0, warm_mean, k_fb, a, b,
             spec.u_min, spec.u_max,
             spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
-            cost_fn, cfg,
+            cost_fn, cfg, lam_init=lam,
         )
 
     return planner
+
+
+def sqp_n_duals(env: Env, cfg: SqpConfig) -> int:
+    """Number of inequality multipliers of the safety NLP (for dual warm
+    starts carried in SafeMPCState)."""
+    spec = env.spec
+    return cfg.n_safe * spec.h_obs.shape[0] + spec.h_safe.shape[0]
+
+
+def shift_duals(lam: jax.Array, n_safe: int, n_obs: int) -> jax.Array:
+    """Receding-horizon dual shift: stage-t multipliers warm-start from the
+    previous solve's stage t+1 (last stage duplicated); terminal multipliers
+    carry over unchanged. Mirrors the primal warm-start shift (SURVEY.md §2.5).
+    """
+    stage = lam[: n_safe * n_obs].reshape(n_safe, n_obs)
+    stage = jnp.concatenate([stage[1:], stage[-1:]], axis=0)
+    return jnp.concatenate([stage.reshape(-1), lam[n_safe * n_obs:]])

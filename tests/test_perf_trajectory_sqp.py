@@ -139,3 +139,31 @@ def test_opt_k_fb_joint_gain_optimization(perf_exp):
     assert bool(jnp.all(jnp.abs(info_f["k_fb_delta"]) <= 1.0 + 1e-9))
     assert float(viol_f) <= float(viol_b) + 1e-8
     assert bool(jnp.all(jnp.isfinite(k_fb_opt)))
+
+
+def test_shift_duals_layout():
+    from safe_exploration_tpu.solvers.sqp import shift_duals
+
+    n_safe, n_obs, n_term = 3, 4, 2
+    lam = jnp.arange(n_safe * n_obs + n_term, dtype=jnp.float64)
+    out = shift_duals(lam, n_safe, n_obs)
+    # stage 0 <- old stage 1, stage 1 <- old stage 2, stage 2 duplicated
+    np.testing.assert_array_equal(out[:4], lam[4:8])
+    np.testing.assert_array_equal(out[4:8], lam[8:12])
+    np.testing.assert_array_equal(out[8:12], lam[8:12])
+    np.testing.assert_array_equal(out[12:], lam[12:])
+
+
+def test_dual_warm_start_carried_by_safempc(perf_exp):
+    """With an SQP planner the SafeMPC state carries multipliers; a feasible
+    solve must store (shifted) nonnegative duals of the right size."""
+    cfg, exp, ssm = perf_exp
+    state = exp["init_state"]()
+    n_duals = 3 * exp["env"].spec.h_obs.shape[0] + exp["env"].spec.h_safe.shape[0]
+    assert state.lam.shape == (n_duals,)
+    _, state2, info = exp["get_action"](
+        jax.random.PRNGKey(0), state, ssm, jnp.asarray([0.03, 0.05], jnp.float64)
+    )
+    assert bool(info["feasible"])
+    assert state2.lam.shape == (n_duals,)
+    assert bool(jnp.all(state2.lam >= 0.0))
