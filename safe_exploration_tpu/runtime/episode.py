@@ -134,13 +134,32 @@ def run_episodic(
     log_noise: float = -3.0,
     calibrate_lipschitz: bool = True,
     metrics: Any = None,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
 ) -> dict:
     """The full episodic safe-learning experiment.
 
     Returns a summary dict with per-episode series (parity with the reference's
     sacred metric names where they are known: safety violations, feasibility
     rate, model error — SURVEY.md §5.5).
+
+    ``ckpt_dir`` enables per-episode checkpointing of the FULL experiment state
+    (GP dataset + factors + hypers, RNG key, episode index, metric series);
+    ``resume=True`` restarts from the latest checkpoint bit-exactly — the
+    reference has no mid-run resume at all (SURVEY.md §5.4).
     """
+    start_ep = 0
+    restored = None
+    if resume and ckpt_dir is not None:
+        from safe_exploration_tpu.runtime.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        path = latest_checkpoint(ckpt_dir)
+        if path is not None:
+            restored = load_checkpoint(path)
+
     k_init, key = jax.random.split(key)
     xs, us, resid = collect_initial_data(env, k_init, n_init_samples, a, b, k_fb)
     ssm = make_gp_ssm(
@@ -156,7 +175,8 @@ def run_episodic(
         return s
 
     fit_fn = jax.jit(fit_and_calibrate)
-    ssm = fit_fn(ssm)
+    if restored is None:
+        ssm = fit_fn(ssm)
 
     rollout = jax.jit(
         partial(rollout_episode, env, get_action, n_steps=n_steps, a=a, b=b),
@@ -167,7 +187,13 @@ def run_episodic(
         "violations": [], "feasibility_rate": [], "model_error": [],
         "mean_cost": [], "episode_time_s": [], "n_data": [],
     }
-    for ep in range(n_ep):
+    if restored is not None:
+        ssm = restored["ssm"]
+        key = restored["key"]
+        start_ep = int(restored["episode"]) + 1
+        series = {k: list(v) for k, v in restored["series"].items()}
+
+    for ep in range(start_ep, n_ep):
         k_reset, k_roll, key = jax.random.split(key, 3)
         x0 = env_reset(env, k_reset)
         t0 = time.perf_counter()
@@ -192,5 +218,13 @@ def run_episodic(
             for name, vals in series.items():
                 metrics.log_scalar(name, vals[-1], step=ep)
             metrics.flush()
+
+        if ckpt_dir is not None:
+            from safe_exploration_tpu.runtime.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                f"{ckpt_dir}/ckpt_{ep}.pkl",
+                {"ssm": ssm, "key": key, "episode": ep, "series": series},
+            )
 
     return {"series": series, "ssm": ssm}

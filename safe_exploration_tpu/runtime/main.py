@@ -41,7 +41,8 @@ def _apply_overrides(cfg, overrides: list[str]):
     return dataclasses.replace(cfg, **updates)
 
 
-def run_experiment(cfg, *, out_dir: str | None = None, dtype=None) -> dict:
+def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
+                   resume: bool = False) -> dict:
     """Build and run one experiment (importable API; the CLI wraps this)."""
     import jax
     import jax.numpy as jnp
@@ -63,11 +64,13 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None) -> dict:
     )
     t0 = time.perf_counter()
     if cfg.task == "episodic":
+        ckpt_dir = os.path.join(out_dir, f"{cfg.name}.ckpt") if out_dir else None
         out = run_episodic(
             exp["env"], exp["init_state"], exp["get_action"],
             exp["a"], exp["b"], exp["k_fb"],
             n_ep=cfg.n_ep, n_steps=cfg.n_steps,
-            n_init_samples=cfg.n_init_samples, **common,
+            n_init_samples=cfg.n_init_samples,
+            ckpt_dir=ckpt_dir, resume=resume, **common,
         )
     elif cfg.task == "exploration":
         out = run_exploration(
@@ -137,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the run to DIR "
                              "(view with TensorBoard / xprof; SURVEY.md §5.1)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume the episodic task from the latest "
+                             "checkpoint under --out (bit-exact RNG stream)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (SURVEY.md §5.2 analog)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -147,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from safe_exploration_tpu.runtime.config import CONFIGS
@@ -164,9 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     dtype = jnp.float64 if args.x64 else jnp.float32
     if args.profile:
         with jax.profiler.trace(args.profile):
-            summary = run_experiment(cfg, out_dir=args.out, dtype=dtype)
+            summary = run_experiment(cfg, out_dir=args.out, dtype=dtype,
+                                     resume=args.resume)
     else:
-        summary = run_experiment(cfg, out_dir=args.out, dtype=dtype)
+        summary = run_experiment(cfg, out_dir=args.out, dtype=dtype,
+                                 resume=args.resume)
     print(json.dumps(
         {k: v for k, v in summary.items() if k != "config"}, indent=2, default=str
     ))

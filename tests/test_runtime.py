@@ -193,3 +193,43 @@ def test_visualization_smoke(tmp_path):
     fig.savefig(tmp_path / "e.png")
     plt.close(fig)
     assert (tmp_path / "e.png").stat().st_size > 0
+
+
+def test_episodic_checkpoint_resume_bit_exact(tmp_path):
+    """A run interrupted after episode 0 and resumed must produce the same
+    final model and series as the uninterrupted run (SURVEY.md §5.4 — the
+    reference cannot do this at all)."""
+    from safe_exploration_tpu.runtime.config import build_experiment
+    from safe_exploration_tpu.runtime.episode import run_episodic
+
+    cfg = _tiny_cfg(n_ep=2)
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    kw = dict(
+        key=jax.random.PRNGKey(5), kern_types=exp["kern_types"],
+        n_max=cfg.n_max, l_mu=exp["l_mu"], l_sigma=exp["l_sigma"],
+        n_steps=cfg.n_steps, n_init_samples=cfg.n_init_samples,
+        hyp_iters=10,
+    )
+    full = run_episodic(
+        exp["env"], exp["init_state"], exp["get_action"],
+        exp["a"], exp["b"], exp["k_fb"], n_ep=2,
+        ckpt_dir=str(tmp_path / "full"), **kw,
+    )
+    # interrupted: run only episode 0 (writes ckpt_0), then resume to n_ep=2
+    run_episodic(
+        exp["env"], exp["init_state"], exp["get_action"],
+        exp["a"], exp["b"], exp["k_fb"], n_ep=1,
+        ckpt_dir=str(tmp_path / "part"), **kw,
+    )
+    resumed = run_episodic(
+        exp["env"], exp["init_state"], exp["get_action"],
+        exp["a"], exp["b"], exp["k_fb"], n_ep=2,
+        ckpt_dir=str(tmp_path / "part"), resume=True, **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full["ssm"].gp.beta), np.asarray(resumed["ssm"].gp.beta)
+    )
+    assert [int(v) for v in resumed["series"]["violations"]] == [
+        int(v) for v in full["series"]["violations"]
+    ]
+    assert len(resumed["series"]["violations"]) == 2
