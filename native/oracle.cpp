@@ -244,3 +244,96 @@ void rbf_posterior(const double *x, const double *mask, const double *beta,
 }
 
 }  // extern "C"
+
+// --- end-to-end one-step ellipsoidal reachability (parity: reachability/
+// onestep.py::onestep_reachability) -----------------------------------------
+//
+// Composes the pieces above: RBF GP posterior (+ ANALYTIC mean Jacobian —
+// independent of JAX's jacfwd), closed-loop linearization, Lipschitz
+// remainders, confidence box, two Minkowski sums. Per output dim d the GP has
+// its own ARD lengthscales ls[d*dim+j], signal variance sf2[d], noise noise[d],
+// weights beta[d*n+i] and Cholesky chol[d*n*n+...]; shared inputs X (n, dim)
+// and mask. z = (p, k_ff) is the query; dim = n_s + n_u.
+extern "C" void onestep_reachability(
+    const double *x, const double *mask, const double *beta,
+    const double *chol, const double *ls, const double *sf2,
+    const double *noise, const double *l_mu, const double *l_sigma,
+    const double *p, const double *q, const double *k_ff, const double *k_fb,
+    const double *a, const double *b, double c_safety, int n, int n_s,
+    int n_u, double *p_out, double *q_out) {
+  const int dim = n_s + n_u;
+  std::vector<double> z(dim);
+  for (int i = 0; i < n_s; ++i) z[i] = p[i];
+  for (int i = 0; i < n_u; ++i) z[n_s + i] = k_ff[i];
+
+  std::vector<double> mu(n_s), var(n_s), jmu(n_s * dim);
+  std::vector<double> kv(n), v(n);
+  for (int d = 0; d < n_s; ++d) {
+    const double *lsd = ls + d * dim;
+    for (int i = 0; i < n; ++i) {
+      double d2 = 0.0;
+      for (int j = 0; j < dim; ++j) {
+        const double dz = (z[j] - x[i * dim + j]) / lsd[j];
+        d2 += dz * dz;
+      }
+      kv[i] = sf2[d] * std::exp(-0.5 * d2) * mask[i];
+    }
+    double m = 0.0;
+    for (int i = 0; i < n; ++i) m += kv[i] * beta[d * n + i];
+    mu[d] = m;
+    // analytic gradient: dmu/dz_j = sum_i beta_i k_i * (x_ij - z_j) / ls_j^2
+    for (int j = 0; j < dim; ++j) {
+      double g = 0.0;
+      for (int i = 0; i < n; ++i)
+        g += beta[d * n + i] * kv[i] * (x[i * dim + j] - z[j]) /
+             (lsd[j] * lsd[j]);
+      jmu[d * dim + j] = g;
+    }
+    trsm_lower(chol + d * n * n, kv.data(), n, 1, 0, v.data());
+    double s = 0.0;
+    for (int i = 0; i < n; ++i) s += v[i] * v[i];
+    double vv = sf2[d] - s;
+    var[d] = vv > 1e-12 ? vv : 1e-12;
+  }
+
+  // p_next = a p + b k_ff + mu
+  for (int i = 0; i < n_s; ++i) {
+    double s = mu[i];
+    for (int j = 0; j < n_s; ++j) s += a[i * n_s + j] * p[j];
+    for (int j = 0; j < n_u; ++j) s += b[i * n_u + j] * k_ff[j];
+    p_out[i] = s;
+  }
+
+  // H = a + J_x + (b + J_u) k_fb ; Q_lin = H Q H^T
+  std::vector<double> h(n_s * n_s);
+  for (int i = 0; i < n_s; ++i)
+    for (int j = 0; j < n_s; ++j) {
+      double s = a[i * n_s + j] + jmu[i * dim + j];
+      for (int k = 0; k < n_u; ++k)
+        s += (b[i * n_u + k] + jmu[i * dim + n_s + k]) * k_fb[k * n_s + j];
+      h[i * n_s + j] = s;
+    }
+  std::vector<double> hq(n_s * n_s), q_lin(n_s * n_s);
+  matmul(h.data(), q, n_s, n_s, n_s, hq.data());
+  std::vector<double> ht(n_s * n_s);
+  for (int i = 0; i < n_s; ++i)
+    for (int j = 0; j < n_s; ++j) ht[i * n_s + j] = h[j * n_s + i];
+  matmul(hq.data(), ht.data(), n_s, n_s, n_s, q_lin.data());
+
+  // remainders + confidence box (same formulas as the exported pieces)
+  std::vector<double> u_mu(n_s), u_sigma(n_s);
+  remainder_overapprox(q, k_fb, l_mu, l_sigma, n_s, n_u, n_s, 30,
+                       u_mu.data(), u_sigma.data());
+  std::vector<double> conf(n_s), q_taylor(n_s * n_s), q_conf(n_s * n_s);
+  for (int d = 0; d < n_s; ++d)
+    conf[d] = c_safety * (std::sqrt(var[d] + noise[d]) + u_sigma[d]);
+  ellipsoid_from_rect(u_mu.data(), n_s, q_taylor.data());
+  ellipsoid_from_rect(conf.data(), n_s, q_conf.data());
+
+  // Minkowski: (p_next, q_lin) (+) (0, q_conf) (+) (0, q_taylor)
+  std::vector<double> zero(n_s, 0.0), p_tmp(n_s), q_tmp(n_s * n_s);
+  ellipsoid_sum(p_out, q_lin.data(), zero.data(), q_conf.data(), n_s,
+                p_tmp.data(), q_tmp.data());
+  ellipsoid_sum(p_tmp.data(), q_tmp.data(), zero.data(), q_taylor.data(), n_s,
+                p_out, q_out);
+}

@@ -71,6 +71,10 @@ class SqpConfig(NamedTuple):
     # dK always cold-starts at 0 (the warm-start protocol covers controls only).
     opt_k_fb: bool = False
     k_fb_bound: float = 2.0
+    # feasibility polish: Gauss-Newton steps on 0.5*||max(g,0)||^2 after the
+    # AL loop — cheap (no objective Hessian) and recovers lanes the fixed AL
+    # budget left marginally infeasible (IPOPT's restoration-phase analog).
+    n_polish: int = 2
 
 
 def _build_constraint_fn(
@@ -264,6 +268,25 @@ def solve_safempc_nlp(
     (u_fin, lam_fin, _), _ = jax.lax.scan(
         outer_step, (u0, lam0, jnp.asarray(cfg.mu0, dtype)), None, length=cfg.n_outer
     )
+
+    if cfg.n_polish > 0:
+        # feasibility restoration: damped Gauss-Newton on the violation only.
+        # Guarded to never increase the violation (step rejected otherwise),
+        # so a feasible AL solution is untouched.
+        def polish_step(u, _):
+            g = constraints(u)
+            v = jnp.maximum(g, 0.0)
+            jac = jax.jacfwd(constraints)(u)           # (n_con, n_var)
+            jtv = jac.T @ v
+            jtj = jac.T @ (jac * (g > 0.0)[:, None])
+            d = jnp.linalg.solve(
+                jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv
+            )
+            u_new = jnp.clip(u + d, lo, hi)
+            better = jnp.sum(jnp.maximum(constraints(u_new), 0.0)) < jnp.sum(v)
+            return jnp.where(better, u_new, u), None
+
+        u_fin, _ = jax.lax.scan(polish_step, u_fin, None, length=cfg.n_polish)
 
     g_fin = constraints(u_fin)
     violation = jnp.sum(jnp.maximum(g_fin, 0.0))

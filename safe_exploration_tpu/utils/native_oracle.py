@@ -28,10 +28,18 @@ _LIB = _NATIVE_DIR / "liboracle.so"
 _D = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
+def _stale() -> bool:
+    src = _NATIVE_DIR / "oracle.cpp"
+    return (
+        not _LIB.exists()
+        or (src.exists() and src.stat().st_mtime > _LIB.stat().st_mtime)
+    )
+
+
 def _build() -> bool:
     try:
         subprocess.run(
-            ["make", "-s", "liboracle.so"], cwd=_NATIVE_DIR, check=True,
+            ["make", "-s", "-B", "liboracle.so"], cwd=_NATIVE_DIR, check=True,
             capture_output=True,
         )
         return True
@@ -60,6 +68,11 @@ class NativeOracle:
         lib.rbf_posterior.argtypes = [
             _D, _D, _D, _D, _D, _D, ctypes.c_double, ctypes.c_int,
             ctypes.c_int, _D, _D,
+        ]
+        lib.onestep_reachability.argtypes = [
+            _D, _D, _D, _D, _D, _D, _D, _D, _D,            # GP: x..l_sigma
+            _D, _D, _D, _D, _D, _D, ctypes.c_double,       # p q k_ff k_fb a b c
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, _D, _D,
         ]
 
     @staticmethod
@@ -131,6 +144,25 @@ class NativeOracle:
         )
         return float(mean[0]), float(var[0])
 
+    def onestep_reachability(self, x, mask, beta, chol, ls, sf2, noise,
+                             l_mu, l_sigma, p, q, k_ff, k_fb, a, b, c_safety):
+        """Full one-step ellipsoid reachability on an RBF multi-output GP —
+        the composed end-to-end oracle (see oracle.cpp). Shapes: x (n, n_s+n_u),
+        beta (n_s, n), chol (n_s, n, n), ls (n_s, n_s+n_u)."""
+        args = list(map(
+            self._c, (x, mask, beta, chol, ls, sf2, noise, l_mu, l_sigma,
+                      p, q, k_ff, k_fb, a, b)
+        ))
+        n = args[0].shape[0]
+        n_s = args[9].shape[0]
+        n_u = args[11].shape[0]
+        p_out = np.empty(n_s)
+        q_out = np.empty((n_s, n_s))
+        self._lib.onestep_reachability(
+            *args, float(c_safety), n, n_s, n_u, p_out, q_out
+        )
+        return p_out, q_out
+
 
 _cached: NativeOracle | None = None
 _tried = False
@@ -142,7 +174,7 @@ def load_oracle() -> NativeOracle | None:
     if _cached is not None or _tried:
         return _cached
     _tried = True
-    if not _LIB.exists() and not _build():
+    if _stale() and not _build():
         return None
     try:
         _cached = NativeOracle(ctypes.CDLL(str(_LIB)))

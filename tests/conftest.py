@@ -30,6 +30,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The whole suite compiles hundreds of XLA programs in one process; on
+    single-CPU runners the accumulated compiler state has produced segfaults
+    inside backend_compile (observed at ~130 compilations). Dropping the
+    caches between modules bounds that state at the cost of a few recompiles.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -113,3 +113,54 @@ def test_rbf_posterior_matches(rng):
     )
     np.testing.assert_allclose(float(mu_j[0]), mu_c, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(float(var_j[0]), var_c, rtol=1e-8, atol=1e-12)
+
+
+def test_onestep_reachability_end_to_end_matches(rng):
+    """Composed end-to-end gate: the full one-step reachability (GP posterior
+    + ANALYTIC mean Jacobian + remainders + Minkowski sums) re-derived in C++
+    must match the JAX engine (which uses jacfwd) to f64 precision."""
+    from safe_exploration_tpu.models import make_gp_ssm
+    from safe_exploration_tpu.models.gp import gp_refit
+    from safe_exploration_tpu.reachability.onestep import onestep_reachability
+
+    n, n_s, n_u = 30, 2, 1
+    xs = rng.uniform(-0.4, 0.4, (n, n_s))
+    us = rng.uniform(-1, 1, (n, n_u))
+    ys = 0.01 * rng.standard_normal((n, n_s))
+    ssm = make_gp_ssm(
+        ("rbf", "rbf"), *map(jnp.asarray, (xs, us, ys)), n_max=n,
+        l_mu=jnp.asarray([0.3, 0.2]), l_sigma=jnp.asarray([0.1, 0.15]),
+        log_noise=-3.5,
+    )
+    # perturb hypers so nothing is at init defaults
+    params = tuple(
+        {"log_lengthscales": p["log_lengthscales"] + 0.2 * d,
+         "log_sf": p["log_sf"] - 1.0 - 0.1 * d}
+        for d, p in enumerate(ssm.gp.params)
+    )
+    ssm = ssm.replace(gp=gp_refit(ssm.gp.replace(params=params)))
+
+    p = jnp.asarray([0.05, -0.1])
+    mq = rng.standard_normal((n_s, n_s)) * 0.05
+    q = jnp.asarray(mq @ mq.T + 0.001 * np.eye(n_s))
+    k_ff = jnp.asarray([0.3])
+    k_fb = jnp.asarray([[-0.8, -0.5]])
+    a = jnp.asarray([[1.0, 0.05], [0.49, 1.0]])
+    b = jnp.asarray([[0.0], [0.2]])
+    c_safety = 2.0
+
+    p_jax, q_jax, _ = onestep_reachability(ssm, p, q, k_ff, k_fb, a, b, c_safety)
+
+    gp = ssm.gp
+    ls = np.stack([np.exp(np.asarray(pr["log_lengthscales"])) for pr in gp.params])
+    sf2 = np.asarray([float(np.exp(2 * pr["log_sf"])) for pr in gp.params])
+    noise = np.exp(2.0 * np.asarray(gp.log_noise))
+    p_c, q_c = oracle.onestep_reachability(
+        np.asarray(gp.x), np.asarray(gp.mask), np.asarray(gp.beta),
+        np.asarray(gp.chol), ls, sf2, noise,
+        np.asarray(ssm.l_mu), np.asarray(ssm.l_sigma),
+        np.asarray(p), np.asarray(q), np.asarray(k_ff), np.asarray(k_fb),
+        np.asarray(a), np.asarray(b), c_safety,
+    )
+    np.testing.assert_allclose(np.asarray(p_jax), p_c, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q_jax), q_c, rtol=1e-8, atol=1e-12)
