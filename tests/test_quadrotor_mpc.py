@@ -1,0 +1,87 @@
+"""BASELINE config 5 integration: 6D quadrotor joint safety+performance MPC.
+
+Smoke-level (tiny budgets) but end-to-end: GP residual model on the real
+plant, ellipsoid tube over a longer horizon, CEM planner feasibility from a
+safe state, and the SQP with a joint performance trajectory.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from safe_exploration_tpu.envs import env_step
+from safe_exploration_tpu.models import make_gp_ssm
+from safe_exploration_tpu.models.gp import gp_refit
+from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
+
+
+@pytest.fixture(scope="module")
+def quad():
+    cfg = ExperimentConfig(
+        name="quad_t", env="quadrotor", solver="cem", kern_types=("rbf",),
+        n_safe=4, n_max=64, c_safety=1.5,
+        cem_samples=64, cem_elites=12, cem_iterations=4,
+    )
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    env, a, b = exp["env"], exp["a"], exp["b"]
+    key = jax.random.PRNGKey(0)
+    n = 48
+    xs = (
+        jax.random.uniform(key, (n, 6), jnp.float64, -1.0, 1.0)
+        * 0.3 * env.spec.norm_x
+    )
+    us = jax.random.uniform(
+        jax.random.fold_in(key, 1), (n, 2), jnp.float64, -0.5, 0.5
+    )
+    _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+    ssm = make_gp_ssm(
+        exp["kern_types"], xs, us, resid, n_max=64,
+        l_mu=jnp.full((6,), 0.05), l_sigma=jnp.full((6,), 0.02),
+        log_noise=-4.5,
+    )
+    params = tuple({**p, "log_sf": jnp.asarray(-3.0)} for p in ssm.gp.params)
+    ssm = ssm.replace(gp=gp_refit(ssm.gp.replace(params=params)))
+    return cfg, exp, ssm
+
+
+def test_cem_feasible_from_hover(quad):
+    cfg, exp, ssm = quad
+    x0 = jnp.zeros(6, jnp.float64).at[0].set(0.05)
+    u, state, info = jax.jit(exp["get_action"])(
+        jax.random.PRNGKey(1), exp["init_state"](), ssm, x0
+    )
+    assert u.shape == (2,)
+    assert bool(info["feasible"]), float(info["violation"])
+
+
+def test_long_horizon_tube_stays_psd(quad):
+    from safe_exploration_tpu.reachability.onestep import multistep_reachability
+
+    cfg, exp, ssm = quad
+    t_len = 10   # "long-horizon reachability" of BASELINE cfg 5
+    k_fb_all = jnp.tile(exp["k_fb"][None], (t_len, 1, 1))
+    p_traj, q_traj, _ = multistep_reachability(
+        ssm, jnp.zeros(6, jnp.float64), jnp.zeros((t_len, 2), jnp.float64),
+        k_fb_all, exp["a"], exp["b"], 1.5,
+    )
+    assert bool(jnp.all(jnp.isfinite(p_traj)))
+    evs = jax.vmap(jnp.linalg.eigvalsh)(q_traj)
+    assert bool(jnp.all(evs >= -1e-12))
+
+
+def test_sqp_joint_perf_on_quadrotor(quad):
+    cfg, exp, ssm = quad
+    cfg2 = ExperimentConfig(
+        name="quad_sqp", env="quadrotor", solver="sqp", kern_types=("rbf",),
+        n_safe=3, n_perf=5, r_shared=1, n_max=64, c_safety=1.5,
+        sqp_outer=4, sqp_inner=3,
+    )
+    exp2 = build_experiment(cfg2, dtype=jnp.float64)
+    x0 = jnp.zeros(6, jnp.float64).at[2].set(0.04)
+    warm = jnp.zeros((3 + 5 - 1, 2), jnp.float64)
+    k_ff, feasible, violation, info = exp2["planner"](
+        jax.random.PRNGKey(0), ssm, x0, warm
+    )
+    assert k_ff.shape == (3, 2)
+    assert bool(feasible), float(violation)
