@@ -21,7 +21,7 @@ from safe_exploration_tpu.models import gp as gp_mod
 from safe_exploration_tpu.models.gp import GP
 
 __all__ = ["GPSSM", "ssm_predict", "ssm_predict_jac", "ssm_update", "ssm_fit",
-           "make_gp_ssm"]
+           "ssm_probe_points", "make_gp_ssm"]
 
 
 @struct.dataclass
@@ -104,25 +104,84 @@ def ssm_noise_var(ssm) -> jax.Array:
 
 
 def ssm_update(
-    ssm: GPSSM, x: jax.Array, u: jax.Array, y: jax.Array, *, replace_old: bool = True
-) -> GPSSM:
-    """Append observed transitions (batch) and refresh posterior factors.
+    ssm, x: jax.Array, u: jax.Array, y: jax.Array, *, replace_old: bool = True
+):
+    """Append observed transitions (batch) and refresh the model.
 
-    Parity: ``StateSpaceModel.update_model`` (SURVEY.md §2.3/§2.5).
+    Parity: ``StateSpaceModel.update_model`` (SURVEY.md §2.3/§2.5). Dispatches
+    over the SSM families (exact GP / sparse GP / MC-dropout net) so the
+    runners are model-agnostic — the reference's config-selected CemSSM
+    backends (SURVEY.md §2.6).
     """
-    z = jnp.concatenate([x, u], axis=-1)
-    return ssm.replace(gp=gp_mod.gp_update_data(ssm.gp, z, y, replace_old=replace_old))
+    if isinstance(ssm, GPSSM):
+        z = jnp.concatenate([x, u], axis=-1)
+        return ssm.replace(
+            gp=gp_mod.gp_update_data(ssm.gp, z, y, replace_old=replace_old)
+        )
+    from safe_exploration_tpu.models import nn_ssm, sparse_gp
+
+    if isinstance(ssm, sparse_gp.SparseGPSSM):
+        z = jnp.concatenate([x, u], axis=-1)
+        return ssm.replace(
+            sgp=sparse_gp.sparse_gp_update_data(
+                ssm.sgp, z, y, replace_old=replace_old
+            )
+        )
+    if isinstance(ssm, nn_ssm.McDropoutSSM):
+        return nn_ssm.mc_update_data(ssm, x, u, y)
+    raise TypeError(f"unknown SSM family: {type(ssm)}")
 
 
-def ssm_fit(ssm: GPSSM, *, iters: int = 200, lr: float = 5e-2) -> GPSSM:
-    """Re-optimize GP hyperparameters (the per-episode ``opt_hyp=True`` path)."""
-    return ssm.replace(gp=gp_mod.gp_fit(ssm.gp, iters=iters, lr=lr))
+def ssm_fit(ssm, *, iters: int = 200, lr: float = 5e-2,
+            key: jax.Array | None = None):
+    """Re-optimize model hyperparameters/weights (the per-episode
+    ``opt_hyp=True`` path); dispatches over the SSM families."""
+    if isinstance(ssm, GPSSM):
+        return ssm.replace(gp=gp_mod.gp_fit(ssm.gp, iters=iters, lr=lr))
+    from safe_exploration_tpu.models import nn_ssm, sparse_gp
+
+    if isinstance(ssm, sparse_gp.SparseGPSSM):
+        return ssm.replace(
+            sgp=sparse_gp.sparse_gp_fit(ssm.sgp, iters=iters, lr=lr)
+        )
+    if isinstance(ssm, nn_ssm.McDropoutSSM):
+        k = jax.random.PRNGKey(0) if key is None else key
+        return nn_ssm.mc_fit(ssm, k, iters=max(iters, 200))
+    raise TypeError(f"unknown SSM family: {type(ssm)}")
+
+
+def ssm_n_points(ssm) -> jax.Array:
+    """Number of valid transitions the model currently holds."""
+    if isinstance(ssm, GPSSM):
+        return ssm.gp.n_points
+    from safe_exploration_tpu.models import nn_ssm, sparse_gp
+
+    if isinstance(ssm, sparse_gp.SparseGPSSM):
+        return ssm.sgp.n_points
+    if isinstance(ssm, nn_ssm.McDropoutSSM):
+        return jnp.sum(ssm.mask).astype(jnp.int32)
+    raise TypeError(f"unknown SSM family: {type(ssm)}")
+
+
+def ssm_probe_points(ssm) -> jax.Array:
+    """Representative (padded) inputs of the model — the default probe set for
+    :func:`estimate_lipschitz` (training buffer; inducing inputs for the
+    sparse family)."""
+    if isinstance(ssm, GPSSM):
+        return ssm.gp.x
+    from safe_exploration_tpu.models import nn_ssm, sparse_gp
+
+    if isinstance(ssm, sparse_gp.SparseGPSSM):
+        return ssm.sgp.z
+    if isinstance(ssm, nn_ssm.McDropoutSSM):
+        return ssm.x
+    raise TypeError(f"unknown SSM family: {type(ssm)}")
 
 
 def estimate_lipschitz(
-    ssm: GPSSM, z_points: jax.Array, *, factor: float = 2.0,
+    ssm, z_points: jax.Array, *, factor: float = 2.0,
     l_mu_min: float = 1e-4, l_sigma_min: float = 1e-4,
-) -> GPSSM:
+):
     """Data-driven Lipschitz constants for the safety remainders (SURVEY.md §7
     hard-part 5).
 
@@ -137,15 +196,15 @@ def estimate_lipschitz(
     the horizon and the NLP infeasible; this estimator keeps the bound tied to
     the model actually in use.
     """
-    e = ssm.gp.n_out
+    e = ssm.l_mu.shape[0]
 
     def per_point(z):
         hn, gn = [], []
         for d in range(e):
-            hess = jax.hessian(lambda zz: gp_mod.gp_predict(ssm.gp, zz)[0][d])(z)
+            hess = jax.hessian(lambda zz: ssm.predict_latent(zz)[0][d])(z)
             # spectral norm of the symmetric Hessian via eigvalsh (d_in is tiny)
             hn.append(jnp.max(jnp.abs(jnp.linalg.eigvalsh(hess))))
-            grad = jax.grad(lambda zz: jnp.sqrt(gp_mod.gp_predict(ssm.gp, zz)[1][d]))(z)
+            grad = jax.grad(lambda zz: jnp.sqrt(ssm.predict_latent(zz)[1][d]))(z)
             gn.append(jnp.linalg.norm(grad))
         return jnp.stack(hn), jnp.stack(gn)
 

@@ -46,9 +46,13 @@ class ExperimentConfig:
     solver: str = "cem"              # "cem" | "sqp"
     objective: str = "tracking"      # "tracking" | "exploration"
 
-    # SSM
+    # SSM (family selected by config — reference's CemSSM backends, §2.6)
+    ssm: str = "gp"                  # "gp" | "sparse_gp" | "mc_dropout"
     kern_types: tuple = ("rbf", "rbf")
     n_max: int = 512                 # padded GP capacity
+    n_inducing: int = 64             # sparse-GP inducing points
+    mc_hidden: tuple = (64, 64)      # MC-dropout MLP widths
+    mc_samples: int = 16             # MC passes
     l_mu: float = 0.5                # Lipschitz const of GP mean gradient (per dim)
     l_sigma: float = 0.25            # Lipschitz const of predictive std (per dim)
     log_noise: float = -3.0
@@ -162,6 +166,37 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         dual_shift=dual_shift,
     )
     kern_types = _kern_tuple(cfg, spec.n_s)
+    dtype_ = dtype
+
+    def make_ssm(key, xs, us, resid):
+        """SSM factory (family per cfg.ssm) — the runners' model constructor."""
+        l_mu = jnp.full((spec.n_s,), cfg.l_mu, dtype_)
+        l_sigma = jnp.full((spec.n_s,), cfg.l_sigma, dtype_)
+        if cfg.ssm == "gp":
+            from safe_exploration_tpu.models import make_gp_ssm
+
+            return make_gp_ssm(
+                kern_types, xs, us, resid, n_max=cfg.n_max,
+                l_mu=l_mu, l_sigma=l_sigma, log_noise=cfg.log_noise,
+            )
+        if cfg.ssm == "sparse_gp":
+            from safe_exploration_tpu.models.sparse_gp import make_sparse_gp_ssm
+
+            return make_sparse_gp_ssm(
+                kern_types, xs, us, resid, n_max=cfg.n_max,
+                n_inducing=cfg.n_inducing, l_mu=l_mu, l_sigma=l_sigma,
+                log_noise=cfg.log_noise,
+            )
+        if cfg.ssm == "mc_dropout":
+            from safe_exploration_tpu.models.nn_ssm import make_mc_dropout_ssm
+
+            return make_mc_dropout_ssm(
+                key, xs, us, resid, n_max=cfg.n_max,
+                l_mu=l_mu, l_sigma=l_sigma,
+                hidden=tuple(int(h) for h in cfg.mc_hidden),
+                n_samples=cfg.mc_samples, log_noise=cfg.log_noise,
+            )
+        raise ValueError(f"unknown ssm family: {cfg.ssm}")
     return {
         "env": env,
         "a": a,
@@ -172,6 +207,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         "get_action": get_action,
         "cost_fn": cost_fn,
         "kern_types": kern_types,
+        "make_ssm": make_ssm,
         "l_mu": jnp.full((spec.n_s,), cfg.l_mu, dtype),
         "l_sigma": jnp.full((spec.n_s,), cfg.l_sigma, dtype),
         "cfg": cfg,
@@ -192,6 +228,14 @@ def register_config(cfg: ExperimentConfig) -> ExperimentConfig:
 register_config(ExperimentConfig(name="pendulum_episode"))
 # BASELINE.json config 1 solved by the SQP instead of CEM
 register_config(ExperimentConfig(name="pendulum_episode_sqp", solver="sqp"))
+# alternative SSM families (reference ssm_cem backends, SURVEY.md §2.6)
+register_config(
+    ExperimentConfig(name="pendulum_episode_mcdropout", ssm="mc_dropout")
+)
+register_config(
+    ExperimentConfig(name="pendulum_episode_sparse", ssm="sparse_gp",
+                     n_inducing=32)
+)
 # exploration task (SURVEY.md §3.2)
 register_config(
     ExperimentConfig(

@@ -27,6 +27,8 @@ from safe_exploration_tpu.models.ssm import (
     estimate_lipschitz,
     make_gp_ssm,
     ssm_fit,
+    ssm_n_points,
+    ssm_probe_points,
     ssm_update,
 )
 from safe_exploration_tpu.solvers.safempc import SafeMPCState
@@ -136,6 +138,7 @@ def run_episodic(
     metrics: Any = None,
     ckpt_dir: str | None = None,
     resume: bool = False,
+    make_ssm: Callable | None = None,
 ) -> dict:
     """The full episodic safe-learning experiment.
 
@@ -160,18 +163,23 @@ def run_episodic(
         if path is not None:
             restored = load_checkpoint(path)
 
-    k_init, key = jax.random.split(key)
+    k_init, k_ssm, key = jax.random.split(key, 3)
     xs, us, resid = collect_initial_data(env, k_init, n_init_samples, a, b, k_fb)
-    ssm = make_gp_ssm(
-        kern_types, xs, us, resid,
-        n_max=n_max, l_mu=l_mu, l_sigma=l_sigma, log_noise=log_noise,
-    )
+    if make_ssm is not None:
+        # config-selected SSM family (gp / sparse_gp / mc_dropout — the
+        # reference's CemSSM backend seam, SURVEY.md §2.6)
+        ssm = make_ssm(k_ssm, xs, us, resid)
+    else:
+        ssm = make_gp_ssm(
+            kern_types, xs, us, resid,
+            n_max=n_max, l_mu=l_mu, l_sigma=l_sigma, log_noise=log_noise,
+        )
 
-    def fit_and_calibrate(s: GPSSM) -> GPSSM:
+    def fit_and_calibrate(s):
         s = ssm_fit(s, iters=hyp_iters)
         if calibrate_lipschitz:
             # probe at the (padded) training inputs; padding rows probe the origin
-            s = estimate_lipschitz(s, s.gp.x)
+            s = estimate_lipschitz(s, ssm_probe_points(s))
         return s
 
     fit_fn = jax.jit(fit_and_calibrate)
@@ -208,7 +216,7 @@ def run_episodic(
         series["model_error"].append(pred_err)
         series["mean_cost"].append(float(jnp.mean(jnp.sum(traj["x"] ** 2, axis=-1))))
         series["episode_time_s"].append(dt_ep)
-        series["n_data"].append(int(ssm.gp.n_points))
+        series["n_data"].append(int(ssm_n_points(ssm)))
 
         ssm = ssm_update(ssm, traj["x"], traj["u"], traj["resid"])
         if opt_hyp_every and (ep + 1) % opt_hyp_every == 0:

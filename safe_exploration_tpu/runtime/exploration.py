@@ -24,7 +24,9 @@ from safe_exploration_tpu.models.ssm import (
     estimate_lipschitz,
     make_gp_ssm,
     ssm_fit,
+    ssm_n_points,
     ssm_predict,
+    ssm_probe_points,
     ssm_update,
 )
 from safe_exploration_tpu.runtime.episode import collect_initial_data
@@ -51,6 +53,7 @@ def run_exploration(
     hyp_iters: int = 120,
     log_noise: float = -3.0,
     metrics: Any = None,
+    make_ssm: Callable | None = None,
 ) -> dict:
     """Static safe exploration: the planner's objective must be the exploration
     (max-predictive-std) cost — wire with ``objective="exploration"``.
@@ -60,16 +63,19 @@ def run_exploration(
     refit), periodically re-fit hyperparameters. Returns per-iteration series of
     information gain, predictive std at the probe, and model error.
     """
-    k_init, k_reset, key = jax.random.split(key, 3)
+    k_init, k_ssm, k_reset, key = jax.random.split(key, 4)
     xs, us, resid = collect_initial_data(env, k_init, n_init_samples, a, b, k_fb)
-    ssm = make_gp_ssm(
-        kern_types, xs, us, resid, n_max=n_max,
-        l_mu=l_mu, l_sigma=l_sigma, log_noise=log_noise,
-    )
+    if make_ssm is not None:
+        ssm = make_ssm(k_ssm, xs, us, resid)
+    else:
+        ssm = make_gp_ssm(
+            kern_types, xs, us, resid, n_max=n_max,
+            l_mu=l_mu, l_sigma=l_sigma, log_noise=log_noise,
+        )
 
     def fit_and_calibrate(s):
         s = ssm_fit(s, iters=hyp_iters)
-        return estimate_lipschitz(s, s.gp.x)
+        return estimate_lipschitz(s, ssm_probe_points(s))
 
     fit_fn = jax.jit(fit_and_calibrate)
     ssm = fit_fn(ssm)
@@ -82,7 +88,7 @@ def run_exploration(
         u_app, x_next = env_step(env, k_step, x, u)
         resid_t = x_next - (a @ x + b @ u_app)
         # exact greedy information gain of the probed point
-        noise_var = jnp.exp(2.0 * s.gp.log_noise)
+        noise_var = s.noise_var()
         info_gain = 0.5 * jnp.sum(jnp.log1p(var / noise_var))
         model_err = jnp.linalg.norm(resid_t - mu)
         s = ssm_update(s, x[None], u_app[None], resid_t[None])
@@ -110,7 +116,7 @@ def run_exploration(
         series["model_error"].append(float(out["model_error"]))
         series["feasibility_rate"].append(float(out["feasible"]))
         series["violations"].append(int(not bool(out["constraint_ok"])))
-        series["n_data"].append(int(ssm.gp.n_points))
+        series["n_data"].append(int(ssm_n_points(ssm)))
         if opt_hyp_every and (it + 1) % opt_hyp_every == 0:
             ssm = fit_fn(ssm)
         if metrics is not None:

@@ -60,7 +60,7 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
     common = dict(
         key=key, kern_types=exp["kern_types"], n_max=cfg.n_max,
         l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], hyp_iters=cfg.hyp_iters,
-        metrics=metrics,
+        metrics=metrics, make_ssm=exp["make_ssm"],
     )
     t0 = time.perf_counter()
     if cfg.task == "episodic":

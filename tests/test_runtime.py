@@ -233,3 +233,34 @@ def test_episodic_checkpoint_resume_bit_exact(tmp_path):
         int(v) for v in full["series"]["violations"]
     ]
     assert len(resumed["series"]["violations"]) == 2
+
+
+@pytest.mark.parametrize("family", ["sparse_gp", "mc_dropout"])
+def test_episodic_with_alternative_ssm_families(family):
+    """Config-selected SSM backends run the full episodic loop (the
+    reference's ssm_cem backend seam, SURVEY.md §2.6)."""
+    from safe_exploration_tpu.runtime.config import build_experiment
+    from safe_exploration_tpu.runtime.episode import run_episodic
+
+    cfg = _tiny_cfg(
+        name=f"tiny_{family}", ssm=family, n_inducing=16,
+        mc_hidden=(16, 16), mc_samples=4, l_mu=0.05, l_sigma=0.02,
+        log_noise=-4.0,
+    )
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    out = run_episodic(
+        exp["env"], exp["init_state"], exp["get_action"],
+        exp["a"], exp["b"], exp["k_fb"],
+        key=jax.random.PRNGKey(2), kern_types=exp["kern_types"],
+        n_max=cfg.n_max, l_mu=exp["l_mu"], l_sigma=exp["l_sigma"],
+        n_ep=1, n_steps=4, n_init_samples=12, hyp_iters=10,
+        make_ssm=exp["make_ssm"],
+    )
+    s = out["series"]
+    assert len(s["violations"]) == 1
+    assert s["violations"][0] == 0
+    assert s["n_data"][0] == 12
+    # the model actually learned the episode's transitions
+    from safe_exploration_tpu.models.ssm import ssm_n_points
+
+    assert int(ssm_n_points(out["ssm"])) == 16
