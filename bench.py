@@ -222,6 +222,25 @@ def bench_pallas_chol(n: int = 512):
     return results
 
 
+def bench_ff_chol(n: int = 256):
+    """fp64-equivalence evidence: float-float vs plain-f32 factor error."""
+    import numpy as np
+
+    from safe_exploration_tpu.ops.ff import cholesky_ff
+
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((n, n))
+    a32 = jnp.asarray(m @ m.T + n * np.eye(n), jnp.float32)
+    l64 = np.linalg.cholesky(np.asarray(a32, np.float64))
+    scale = np.max(np.abs(l64))
+    lff = jax.jit(cholesky_ff)(a32)
+    got = np.asarray(lff.hi, np.float64) + np.asarray(lff.lo, np.float64)
+    err_ff = float(np.max(np.abs(got - l64)) / scale)
+    l32 = np.asarray(jnp.linalg.cholesky(a32), np.float64)
+    err_f32 = float(np.max(np.abs(l32 - l64)) / scale)
+    return err_ff, err_f32
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -240,6 +259,7 @@ def main():
     chol_ms, pred_ms = bench_gp_latency()
     sgp_refit_ms, sgp_pred_us = bench_large_gp()
     chol_tier = bench_pallas_chol()
+    err_ff, err_f32 = bench_ff_chol()
 
     result = {
         "metric": "safe_mpc_solves_per_sec_pendulum_H5",
@@ -256,6 +276,8 @@ def main():
         "sparse_gp_predict_us_n10k": round(sgp_pred_us, 2),
         "pallas_chol_ms_n512": round(chol_tier["pallas"], 3),
         "xla_chol_ms_n512": round(chol_tier["xla"], 3),
+        "ff_chol_rel_err_n256": float(f"{err_ff:.3e}"),
+        "f32_chol_rel_err_n256": float(f"{err_f32:.3e}"),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

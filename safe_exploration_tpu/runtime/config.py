@@ -40,8 +40,10 @@ class ExperimentConfig:
     """One experiment = env + SSM + solver + runtime schedule (SURVEY.md §2.8)."""
 
     name: str = "pendulum_episode"
-    # task: "episodic" | "exploration" | "uncertainty" (reference main.py scenarios)
+    # task: "episodic" | "exploration" | "uncertainty" (reference main.py
+    # scenarios) | "batch" (mesh-sharded parallel episodes, BASELINE cfg 3)
     task: str = "episodic"
+    batch_lanes: int = 256           # parallel episode lanes for task="batch"
     env: str = "pendulum"
     solver: str = "cem"              # "cem" | "sqp"
     objective: str = "tracking"      # "tracking" | "exploration"
@@ -241,6 +243,14 @@ register_config(
     ExperimentConfig(
         name="pendulum_exploration", task="exploration", objective="exploration",
         n_safe=3, n_steps=1,
+    )
+)
+# BASELINE.json config 3: mesh-sharded batch of parallel pendulum episodes
+register_config(
+    ExperimentConfig(
+        name="pendulum_batch", task="batch", batch_lanes=256, n_safe=3,
+        n_max=128, n_steps=20, n_init_samples=24,
+        cem_samples=64, cem_elites=12, cem_iterations=4,
     )
 )
 # BASELINE.json config 2: cart-pole, H=10, performance trajectory

@@ -79,6 +79,56 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             n_iterations=cfg.n_ep * cfg.n_steps,
             n_init_samples=cfg.n_init_samples, **common,
         )
+    elif cfg.task == "batch":
+        import jax.numpy as jnp
+
+        from safe_exploration_tpu.models.ssm import (
+            estimate_lipschitz,
+            ssm_fit,
+            ssm_probe_points,
+        )
+        from safe_exploration_tpu.parallel import make_mesh
+        from safe_exploration_tpu.runtime.batch import (
+            run_batched_episodes,
+            stack_ssm,
+        )
+        from safe_exploration_tpu.runtime.episode import collect_initial_data
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        xs, us, resid = collect_initial_data(
+            exp["env"], k1, cfg.n_init_samples, exp["a"], exp["b"], exp["k_fb"]
+        )
+        ssm = exp["make_ssm"](k2, xs, us, resid)
+
+        def _fit_cal(s):
+            s = ssm_fit(s, iters=cfg.hyp_iters)
+            return estimate_lipschitz(s, ssm_probe_points(s))
+
+        ssm = jax.jit(_fit_cal)(ssm)
+        lanes = cfg.batch_lanes
+        mesh = make_mesh()
+        spec = exp["env"].spec
+        x0s = spec.init_m + spec.init_std * jax.random.normal(
+            k3, (lanes, spec.n_s), dtype
+        )
+        t_roll = time.perf_counter()
+        traj, _ = run_batched_episodes(
+            exp["env"], exp["get_action"], exp["init_state"],
+            stack_ssm(ssm, lanes), x0s, jax.random.split(k4, lanes),
+            cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
+        )
+        roll_s = time.perf_counter() - t_roll
+        total_steps = lanes * cfg.n_steps
+        out = {"series": {
+            "violations": [int((~traj["constraint_ok"]).sum())],
+            "feasibility_rate": [float(traj["feasible"].mean())],
+            "model_error": [float(jnp.mean(jnp.abs(traj["resid"])))],
+            "lanes": [lanes],
+            "steps_per_sec": [total_steps / roll_s],
+        }}
+        for name, vals in out["series"].items():
+            metrics.log_scalar(name, vals[0], step=0)
+        metrics.flush()
     elif cfg.task == "uncertainty":
         import jax.numpy as jnp
 
