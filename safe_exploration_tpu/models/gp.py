@@ -325,17 +325,33 @@ def gp_nll(params: tuple, log_noise: jax.Array, gp: GP) -> jax.Array:
     return total
 
 
-def gp_fit(gp: GP, *, iters: int = 200, lr: float = 5e-2) -> GP:
+def gp_fit(gp: GP, *, iters: int = 200, lr: float = 5e-2,
+           prior_strength: float = 0.5) -> GP:
     """Hyperparameter optimization: Adam on the log-space NLL, fixed iterations.
 
     Replaces GPy's L-BFGS ``optimize_restarts`` (SURVEY.md §2.3) with a jit-able
     fixed-budget optimizer so hyperopt can run INSIDE the episodic scan and be
     vmapped across episodes — the reference must drop to Python/LAPACK here.
+
+    ``prior_strength`` is a weak Gaussian prior (in log space) centered at the
+    CURRENT hyperparameters — the jit-able analog of GPy's bounded/priored
+    optimization. It prevents small-data refits from collapsing lengthscales,
+    which would blow up the Lipschitz remainder bounds (observed: an episodic
+    cartpole refit on ~37 points drove one lengthscale to 0.2, l_mu to 9.5 and
+    every subsequent solve infeasible). Set 0.0 for a pure ML-II fit.
     """
     opt = optax.adam(lr)
+    theta_ref = (gp.params, gp.log_noise)
 
     def loss(theta):
-        return gp_nll(theta[0], theta[1], gp)
+        nll = gp_nll(theta[0], theta[1], gp)
+        if prior_strength > 0.0:
+            sq = jax.tree.map(lambda t, t0: jnp.sum((t - t0) ** 2),
+                              theta, theta_ref)
+            nll = nll + prior_strength * jax.tree.reduce(
+                lambda a, b: a + b, sq
+            )
+        return nll
 
     theta0 = (gp.params, gp.log_noise)
     state0 = opt.init(theta0)

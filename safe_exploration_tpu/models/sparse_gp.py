@@ -218,15 +218,24 @@ def sparse_gp_elbo(params: tuple, log_noise: jax.Array, sgp: SparseGP) -> jax.Ar
     return total
 
 
-def sparse_gp_fit(sgp: SparseGP, *, iters: int = 200, lr: float = 5e-2) -> SparseGP:
+def sparse_gp_fit(sgp: SparseGP, *, iters: int = 200, lr: float = 5e-2,
+                  prior_strength: float = 0.5) -> SparseGP:
     """Hyperparameter fit by Adam on the negative VFE bound (fixed budget,
-    jit-able — replaces GPy's L-BFGS on the sparse marginal likelihood)."""
+    jit-able — replaces GPy's L-BFGS on the sparse marginal likelihood).
+    ``prior_strength`` anchors the log-hypers as in ``gp.gp_fit`` (prevents
+    lengthscale collapse that inflates the Lipschitz remainder bounds)."""
     import optax
 
     opt = optax.adam(lr)
+    theta_ref = (sgp.params, sgp.log_noise)
 
     def loss(theta):
-        return sparse_gp_elbo(theta[0], theta[1], sgp)
+        obj = sparse_gp_elbo(theta[0], theta[1], sgp)
+        if prior_strength > 0.0:
+            sq = jax.tree.map(lambda t, t0: jnp.sum((t - t0) ** 2),
+                              theta, theta_ref)
+            obj = obj + prior_strength * jax.tree.reduce(lambda a, b: a + b, sq)
+        return obj
 
     theta0 = (sgp.params, sgp.log_noise)
     state0 = opt.init(theta0)
