@@ -105,8 +105,11 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             return estimate_lipschitz(s, ssm_probe_points(s))
 
         ssm = jax.jit(_fit_cal)(ssm)
-        lanes = cfg.batch_lanes
-        mesh = make_mesh()
+        # mesh over at most `lanes` devices; lanes rounded up to a multiple of
+        # the mesh size so the episode axis shards evenly
+        n_dev = max(1, min(len(jax.devices()), cfg.batch_lanes))
+        lanes = ((cfg.batch_lanes + n_dev - 1) // n_dev) * n_dev
+        mesh = make_mesh(n_dev)
         spec = exp["env"].spec
         x0s = spec.init_m + spec.init_std * jax.random.normal(
             k3, (lanes, spec.n_s), dtype

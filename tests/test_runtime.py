@@ -264,3 +264,28 @@ def test_episodic_with_alternative_ssm_families(family):
     from safe_exploration_tpu.models.ssm import ssm_n_points
 
     assert int(ssm_n_points(out["ssm"])) == 16
+
+
+def test_cli_exploration_and_batch_tasks(tmp_path):
+    """CLI dispatch covers every reference scenario (episodic tested above,
+    uncertainty via its runner test) plus the batch task (BASELINE cfg 3)."""
+    from safe_exploration_tpu.runtime.main import main
+
+    rc = main([
+        "--config", "pendulum_exploration", "--out", str(tmp_path),
+        "--set", "n_ep=1", "n_steps=3", "n_init_samples=10", "hyp_iters=10",
+        "cem_samples=16", "cem_elites=4", "cem_iterations=2", "n_max=32",
+    ])
+    assert rc == 0
+    assert (tmp_path / "pendulum_exploration.summary.json").exists()
+
+    rc = main([
+        "--config", "pendulum_batch", "--out", str(tmp_path),
+        "--set", "batch_lanes=4", "n_steps=3", "n_init_samples=12",
+        "hyp_iters=10", "cem_samples=16", "cem_elites=4",
+        "cem_iterations=2", "n_max=32",
+    ])
+    assert rc == 0
+    summary = json.loads((tmp_path / "pendulum_batch.summary.json").read_text())
+    assert summary["metrics"]["violations"] == 0.0
+    assert summary["metrics"]["lanes"] == 4.0
