@@ -250,16 +250,31 @@ def main():
     ap.add_argument("--n-safe", type=int, default=5)
     args = ap.parse_args()
 
+    nan = float("nan")
+
+    def _safe(fn, default):
+        """Secondary metrics must never sink the headline JSON line."""
+        try:
+            return fn()
+        except Exception as e:  # pragma: no cover - defensive
+            import sys
+
+            print(f"bench sub-metric failed: {e!r}", file=sys.stderr)
+            return default
+
     solves_per_sec, feasible_frac = bench_solves(
         args.batch, args.iters, args.n_max, args.n_data, args.n_safe
     )
-    warm_sps, warm_feas = bench_warm_solves(
-        args.batch, args.iters, args.n_max, args.n_data, args.n_safe
+    warm_sps, warm_feas = _safe(
+        lambda: bench_warm_solves(
+            args.batch, args.iters, args.n_max, args.n_data, args.n_safe
+        ),
+        (nan, nan),
     )
-    chol_ms, pred_ms = bench_gp_latency()
-    sgp_refit_ms, sgp_pred_us = bench_large_gp()
-    chol_tier = bench_pallas_chol()
-    err_ff, err_f32 = bench_ff_chol()
+    chol_ms, pred_ms = _safe(bench_gp_latency, (nan, nan))
+    sgp_refit_ms, sgp_pred_us = _safe(bench_large_gp, (nan, nan))
+    chol_tier = _safe(bench_pallas_chol, {"pallas": nan, "xla": nan})
+    err_ff, err_f32 = _safe(bench_ff_chol, (nan, nan))
 
     result = {
         "metric": "safe_mpc_solves_per_sec_pendulum_H5",
