@@ -13,7 +13,6 @@ input — the greedy-MI objective of safe active learning.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
