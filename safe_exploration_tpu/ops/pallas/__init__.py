@@ -28,6 +28,7 @@ __all__ = [
     "interpret_mode",
     "rbf_gram_masked",
     "cholesky_blocked",
+    "cholesky_hbm",
     "trsm_lower_blocked",
     "solve_psd_blocked",
 ]
@@ -44,6 +45,7 @@ def interpret_mode() -> bool:
 
 from safe_exploration_tpu.ops.pallas.gram import rbf_gram_masked  # noqa: E402
 from safe_exploration_tpu.ops.pallas.cholesky import cholesky_blocked  # noqa: E402
+from safe_exploration_tpu.ops.pallas.cholesky_hbm import cholesky_hbm  # noqa: E402
 from safe_exploration_tpu.ops.pallas.trsm import (  # noqa: E402
     solve_psd_blocked,
     trsm_lower_blocked,

@@ -117,3 +117,26 @@ def test_rbf_gram_masked_padding_is_identity(rng):
     assert bool(jnp.all(jnp.isfinite(l)))
     sub = k[7:, 7:]
     np.testing.assert_allclose(sub, jnp.eye(123, dtype=x.dtype), atol=1e-12)
+
+
+# -------------------------------------------------------------- hbm tier ---
+
+
+@pytest.mark.parametrize("n", [256, 640])
+def test_cholesky_hbm_matches_jnp(rng, n):
+    from safe_exploration_tpu.ops.pallas.cholesky_hbm import cholesky_hbm
+
+    a = _spd(rng, n, dtype=jnp.float32)
+    l_pallas = cholesky_hbm(a, interpret=True)
+    l_ref = jnp.linalg.cholesky(a)
+    np.testing.assert_allclose(l_pallas, l_ref, rtol=3e-4, atol=3e-4)
+
+
+def test_cholesky_hbm_f64_oracle(rng):
+    from safe_exploration_tpu.ops.pallas.cholesky_hbm import cholesky_hbm
+
+    a = _spd(rng, 384)  # f64 in interpret mode
+    l_pallas = cholesky_hbm(a, interpret=True)
+    np.testing.assert_allclose(
+        l_pallas, jnp.linalg.cholesky(a), rtol=1e-9, atol=1e-9
+    )
