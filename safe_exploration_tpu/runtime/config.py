@@ -260,6 +260,13 @@ register_config(
         n_safe=10, n_perf=10, c_safety=2.0, cem_samples=192,
     )
 )
+# config 2 on the NLP path: joint safety+performance trajectories in the SQP
+register_config(
+    ExperimentConfig(
+        name="cartpole_episode_sqp", env="cartpole", kern_types=("rbf",),
+        solver="sqp", n_safe=10, n_perf=10, r_shared=2, c_safety=2.0,
+    )
+)
 # BASELINE.json config 5: 6D quadrotor, joint safety+performance, long horizon
 register_config(
     ExperimentConfig(

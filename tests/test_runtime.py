@@ -289,3 +289,17 @@ def test_cli_exploration_and_batch_tasks(tmp_path):
     summary = json.loads((tmp_path / "pendulum_batch.summary.json").read_text())
     assert summary["metrics"]["violations"] == 0.0
     assert summary["metrics"]["lanes"] == 4.0
+
+
+def test_cartpole_sqp_config_wires_joint_trajectories():
+    """BASELINE config 2 on the NLP path: the registered cartpole SQP config
+    builds with an H=10 safety tube + 10-stage performance trajectory sharing
+    r=2 controls, and its warm/dual state is sized accordingly."""
+    from safe_exploration_tpu.runtime.config import CONFIGS, build_experiment
+
+    cfg = CONFIGS["cartpole_episode_sqp"]
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    state = exp["init_state"]()
+    assert state.warm_mean.shape == (10 + 10 - 2, 1)
+    n_duals = 10 * exp["env"].spec.h_obs.shape[0] + exp["env"].spec.h_safe.shape[0]
+    assert state.lam.shape == (n_duals,)
