@@ -58,6 +58,7 @@ class GP:
     log_noise: jax.Array  # (e,) log observation-noise std
     chol: jax.Array     # (e, n_max, n_max) lower Cholesky of masked K per dim
     beta: jax.Array     # (e, n_max) K^{-1} (mask * y_d) per dim
+    kinv: jax.Array     # (e, n_max, n_max) K^{-1} per dim (see _kinv_from_chol)
     head: jax.Array     # () int32 ring-buffer write pointer
 
     @property
@@ -83,15 +84,29 @@ def _masked_gram(
     return k + jnp.diag(diag)
 
 
-# Pallas dispatch threshold: below this size XLA's fused ops win (kernel
-# launch + padding overhead); above, the hand-tiled kernels (ops/pallas) do.
+# Pallas dispatch thresholds: below MIN_N XLA's fused ops win (kernel launch +
+# padding overhead); between MIN_N and VMEM_MAX_N the VMEM-resident blocked
+# kernels win; above VMEM_MAX_N the matrix no longer fits the ~16 MB VMEM
+# budget of cholesky_blocked (its docstring caps it at n ~= 1024 in f32), so
+# the refit routes to the HBM-resident panel kernel (ops/pallas/cholesky_hbm).
 _PALLAS_MIN_N = 256
+_PALLAS_VMEM_MAX_N = 1024
 
 
 def _use_pallas(n: int, dtype) -> bool:
     from safe_exploration_tpu.ops.pallas import on_tpu
 
-    return on_tpu() and n >= _PALLAS_MIN_N and dtype == jnp.float32
+    return (
+        on_tpu()
+        and _PALLAS_MIN_N <= n <= _PALLAS_VMEM_MAX_N
+        and dtype == jnp.float32
+    )
+
+
+def _use_pallas_hbm(n: int, dtype) -> bool:
+    from safe_exploration_tpu.ops.pallas import on_tpu
+
+    return on_tpu() and n > _PALLAS_VMEM_MAX_N and dtype == jnp.float32
 
 
 def _refit_gram(gp: GP, d: int, noise_var: jax.Array) -> jax.Array:
@@ -105,12 +120,48 @@ def _refit_gram(gp: GP, d: int, noise_var: jax.Array) -> jax.Array:
 
 
 def _chol_psd(k: jax.Array) -> jax.Array:
-    """Cholesky for the refit path: blocked Pallas kernel on TPU at size."""
-    if _use_pallas(k.shape[-1], k.dtype):
+    """Cholesky for the refit path: blocked Pallas kernel on TPU at size.
+
+    Three tiers: XLA below 256 (launch overhead dominates), the VMEM-resident
+    ``cholesky_blocked`` up to 1024 (its VMEM budget), and the HBM-resident
+    left-looking panel kernel ``cholesky_hbm`` above that.
+    """
+    n = k.shape[-1]
+    if _use_pallas(n, k.dtype):
         from safe_exploration_tpu.ops.pallas import cholesky_blocked
 
         return cholesky_blocked(k)
+    if _use_pallas_hbm(n, k.dtype):
+        from safe_exploration_tpu.ops.pallas import cholesky_hbm
+
+        return cholesky_hbm(k)
     return jnp.linalg.cholesky(k)
+
+
+def _kinv_from_chol(l: jax.Array) -> jax.Array:
+    """Explicit K^{-1} from the lower Cholesky factor (refit-time, O(n^3)).
+
+    Predict-time variance then becomes the quadratic form
+    ``kzz - kv @ (kinv @ kv)`` — two MXU matvecs — instead of a SEQUENTIAL
+    triangular solve per posterior evaluation. The SQP evaluates the posterior
+    (and its jacfwd/Hessian transforms) hundreds of times per solve, so the
+    solve-free predict collapses the dispatch-bound kernel chain that capped
+    round 1's batched-solver throughput (~1000x under roofline). Identity
+    padding is preserved: chol is identity on masked slots, hence so is kinv.
+
+    At the Pallas tier the inversion runs through the blocked TRSM kernel
+    (one launch, RHS resident in VMEM) — the production call site of
+    ops/pallas/trsm.py, replacing LAPACK ``trsm`` under GPy (SURVEY.md §2.10).
+    """
+    n = l.shape[-1]
+    eye = jnp.eye(n, dtype=l.dtype)
+    if _use_pallas(n, l.dtype):
+        from safe_exploration_tpu.ops.pallas import trsm_lower_blocked
+
+        linv = trsm_lower_blocked(l, eye)
+    else:
+        linv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    return linv.T @ linv
 
 
 def _uniform_kern(gp: GP) -> str | None:
@@ -139,7 +190,9 @@ def gp_refit(gp: GP) -> GP:
     is never differentiated (hyperopt's gp_nll keeps the XLA cholesky).
     """
     kt = _uniform_kern(gp)
-    if kt is not None:
+    # The HBM-tier Cholesky kernel drives its own grid/DMA schedule and must
+    # not be lifted into a vmap grid — at that size use the per-dim loop below.
+    if kt is not None and not _use_pallas_hbm(gp.n_max, gp.x.dtype):
         def per_dim(p, log_noise_d, yd):
             noise_var = jnp.exp(2.0 * log_noise_d)
             if kt == "rbf" and _use_pallas(gp.n_max, gp.x.dtype):
@@ -152,15 +205,16 @@ def gp_refit(gp: GP) -> GP:
             ym = gp.mask * yd
             z = jax.scipy.linalg.solve_triangular(l, ym, lower=True)
             b = jax.scipy.linalg.solve_triangular(l.T, z, lower=False)
-            return l, b
+            return l, b, _kinv_from_chol(l)
 
-        chol, beta = jax.vmap(per_dim)(
+        chol, beta, kinv = jax.vmap(per_dim)(
             _stack_params(gp.params), gp.log_noise, gp.y.T
         )
-        return gp.replace(chol=chol, beta=beta)
+        return gp.replace(chol=chol, beta=beta, kinv=kinv)
 
     chols = []
     betas = []
+    kinvs = []
     for d in range(gp.n_out):
         noise_var = jnp.exp(2.0 * gp.log_noise[d])
         k = _refit_gram(gp, d, noise_var)
@@ -170,7 +224,10 @@ def gp_refit(gp: GP) -> GP:
         b = jax.scipy.linalg.solve_triangular(l.T, z, lower=False)
         chols.append(l)
         betas.append(b)
-    return gp.replace(chol=jnp.stack(chols), beta=jnp.stack(betas))
+        kinvs.append(_kinv_from_chol(l))
+    return gp.replace(
+        chol=jnp.stack(chols), beta=jnp.stack(betas), kinv=jnp.stack(kinvs)
+    )
 
 
 def gp_init(
@@ -208,6 +265,7 @@ def gp_init(
         log_noise=ln,
         chol=jnp.zeros((e, n_max, n_max), dtype),
         beta=jnp.zeros((e, n_max), dtype),
+        kinv=jnp.zeros((e, n_max, n_max), dtype),
         head=jnp.asarray(n, jnp.int32),
     )
     return gp_refit(gp)
@@ -265,6 +323,7 @@ def gp_append_point(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
 
     chols = []
     betas = []
+    kinvs = []
     for d in range(gp.n_out):
         noise_var = jnp.exp(2.0 * gp.log_noise[d])
         # masked cross-covariances of the new point vs existing actives
@@ -272,22 +331,36 @@ def gp_append_point(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
         l_row = jax.scipy.linalg.solve_triangular(gp.chol[d], kv, lower=True)
         # old identity rows have L^{-1} = I on padding, kv is 0 there -> 0 contribution
         knn = kernel_diag(gp.kern_types[d], gp.params[d], x_new[None, :])[0]
-        l_nn = jnp.sqrt(
-            jnp.maximum(knn + noise_var + _JITTER - jnp.dot(l_row, l_row), _JITTER)
+        schur = jnp.maximum(
+            knn + noise_var + _JITTER - jnp.dot(l_row, l_row), _JITTER
         )
+        l_nn = jnp.sqrt(schur)
         # write the new row (old row was e_slot from identity padding)
         new_l = gp.chol[d]
         new_l = new_l.at[slot, :].set(jnp.where(row_sel, l_nn, l_row))
-        # beta refresh: two O(n^2) triangular solves
+        # K^{-1} refresh in O(n^2): block inverse of the bordered matrix.
+        # With w = K_old^{-1} kv and S the Schur complement (== l_nn^2, since
+        # kv^T K^{-1} kv = ||L^{-1} kv||^2), the new inverse is
+        #   [[Kinv + w w^T / S, -w / S], [-w^T / S, 1 / S]].
+        # kv is masked by the OLD mask (kv[slot] = 0) and Kinv is identity on
+        # padding, so w vanishes on every inactive slot — the rank-1 term
+        # leaves padding rows untouched and the slot row/col overwrite below
+        # replaces the old identity row exactly.
+        w = gp.kinv[d] @ kv
+        new_kinv = gp.kinv[d] + jnp.outer(w, w) / schur
+        slot_vec = jnp.where(row_sel, 1.0 / schur, -w / schur)
+        new_kinv = new_kinv.at[slot, :].set(slot_vec)
+        new_kinv = new_kinv.at[:, slot].set(slot_vec)
+        # beta refresh: one O(n^2) matvec against the fresh inverse
         yd = mask * y[:, d]
-        z = jax.scipy.linalg.solve_triangular(new_l, yd, lower=True)
-        b = jax.scipy.linalg.solve_triangular(new_l.T, z, lower=False)
+        b = new_kinv @ yd
         chols.append(new_l)
         betas.append(b)
+        kinvs.append(new_kinv)
 
     return gp.replace(
         x=x, y=y, mask=mask, chol=jnp.stack(chols), beta=jnp.stack(betas),
-        head=jnp.minimum(gp.head + 1, gp.n_max),
+        kinv=jnp.stack(kinvs), head=jnp.minimum(gp.head + 1, gp.n_max),
     )
 
 
@@ -368,12 +441,17 @@ def gp_fit(gp: GP, *, iters: int = 200, lr: float = 5e-2,
 
 
 def _predict_dim(gp: GP, d: int, z: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Latent posterior mean/variance of output dim d at a single input z (d_in,)."""
+    """Latent posterior mean/variance of output dim d at a single input z (d_in,).
+
+    Solve-free: var = kzz - kv^T K^{-1} kv via the precomputed inverse — two
+    matvecs, no sequential triangular solve. This is the SQP's innermost op
+    (traced, jacfwd'd and Hessian'd hundreds of times per solve); keeping it
+    pure MXU work is what the kinv field exists for (see _kinv_from_chol).
+    """
     kv = gram(gp.kern_types[d], gp.params[d], z[None, :], gp.x)[0] * gp.mask  # (n_max,)
     mean = jnp.dot(kv, gp.beta[d])
-    v = jax.scipy.linalg.solve_triangular(gp.chol[d], kv, lower=True)
     kzz = kernel_diag(gp.kern_types[d], gp.params[d], z[None, :])[0]
-    var = jnp.maximum(kzz - jnp.dot(v, v), 1e-12)
+    var = jnp.maximum(kzz - jnp.dot(kv, gp.kinv[d] @ kv), 1e-12)
     return mean, var
 
 
@@ -411,19 +489,19 @@ def gp_predict_jac(
 
     Parity: reference ``SimpleGPModel.predictive_gradients`` / ``linearize_predict``
     (SURVEY.md §2.3, §3.4) — implemented as ONE ``jacfwd`` over the predict
-    function instead of GPy's handwritten gradient formulas.
+    function instead of GPy's handwritten gradient formulas. Value and both
+    Jacobians come out of a single fused forward pass: jacfwd's primal
+    computation is tangent-independent, so XLA sees one posterior evaluation,
+    not three (round 1 evaluated mean/std/value separately).
     """
-    mean, var = gp_predict(gp, z)
+    e = gp.n_out
 
-    def mean_fn(zz):
-        return gp_predict(gp, zz)[0]
+    def both(zz):
+        m, v = gp_predict(gp, zz)
+        return jnp.concatenate([m, jnp.sqrt(v)]), (m, v)
 
-    def std_fn(zz):
-        return jnp.sqrt(gp_predict(gp, zz)[1])
-
-    jac_mean = jax.jacfwd(mean_fn)(z)
-    jac_std = jax.jacfwd(std_fn)(z)
-    return mean, var, jac_mean, jac_std
+    jac, (mean, var) = jax.jacfwd(both, has_aux=True)(z)
+    return mean, var, jac[:e], jac[e:]
 
 
 def gp_export_params(gp: GP) -> dict[str, Any]:

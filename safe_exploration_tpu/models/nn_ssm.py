@@ -148,12 +148,20 @@ def mc_update_data(ssm: McDropoutSSM, x: jax.Array, u: jax.Array, y: jax.Array
     """
     z = jnp.concatenate([x, u], axis=-1)
     k = z.shape[0]
-    idx = (ssm.head + jnp.arange(k, dtype=jnp.int32)) % ssm.x.shape[0]
+    n_max = ssm.x.shape[0]
+    if k > n_max:
+        # duplicate ring indices in one .at[idx].set leave which row survives
+        # unspecified — only the newest n_max transitions can be stored anyway
+        z, y = z[-n_max:], y[-n_max:]
+        k = n_max
+    idx = (ssm.head + jnp.arange(k, dtype=jnp.int32)) % n_max
     return ssm.replace(
         x=ssm.x.at[idx].set(z),
         y=ssm.y.at[idx].set(y),
         mask=ssm.mask.at[idx].set(1.0),
-        head=ssm.head + k,
+        # store head modulo n_max: an unbounded int32 head would eventually
+        # overflow on very long runs
+        head=(ssm.head + k) % n_max,
     )
 
 

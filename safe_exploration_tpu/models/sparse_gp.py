@@ -56,6 +56,7 @@ class SparseGP:
     luu: jax.Array        # (e, m, m) chol(Kuu + jitter)
     lsig: jax.Array       # (e, m, m) chol(Sigma)
     alpha: jax.Array      # (e, m) predictive-mean weights
+    vmat: jax.Array       # (e, m, m) Kuu^{-1} - Sigma^{-1} (solve-free variance)
     head: jax.Array       # () int32 ring-buffer pointer
 
     @property
@@ -75,8 +76,23 @@ class SparseGP:
         return jnp.sum(self.mask).astype(jnp.int32)
 
 
+def _variance_mat(luu: jax.Array, lsig: jax.Array) -> jax.Array:
+    """vmat = Kuu^{-1} - Sigma^{-1} from the two factors (m x m, refit-time).
+
+    Predict-time variance is then kzz - kzu @ vmat @ kzu — ONE matvec instead
+    of two sequential triangular solves per posterior evaluation. Same
+    rationale as the dense GP's kinv (models/gp.py::_kinv_from_chol): this
+    path sits inside the SQP's traced/differentiated hot loop.
+    """
+    m = luu.shape[-1]
+    eye = jnp.eye(m, dtype=luu.dtype)
+    luu_inv = jax.scipy.linalg.solve_triangular(luu, eye, lower=True)
+    lsig_inv = jax.scipy.linalg.solve_triangular(lsig, eye, lower=True)
+    return luu_inv.T @ luu_inv - lsig_inv.T @ lsig_inv
+
+
 def _factors_dim(kt, params, z, x, mask, y_d, noise_var):
-    """(luu, lsig, alpha) for one output dim."""
+    """(luu, lsig, alpha, vmat) for one output dim."""
     m = z.shape[0]
     kuu = gram(kt, params, z, z) + _JITTER * jnp.eye(m, dtype=z.dtype)
     kuf = gram(kt, params, z, x) * mask[None, :]  # (m, n)
@@ -86,23 +102,25 @@ def _factors_dim(kt, params, z, x, mask, y_d, noise_var):
     rhs = kuf @ (mask * y_d) / noise_var
     w = jax.scipy.linalg.solve_triangular(lsig, rhs, lower=True)
     alpha = jax.scipy.linalg.solve_triangular(lsig.T, w, lower=False)
-    return luu, lsig, alpha
+    return luu, lsig, alpha, _variance_mat(luu, lsig)
 
 
 def sparse_gp_refit(sgp: SparseGP) -> SparseGP:
-    """Rebuild (luu, lsig, alpha) for the current data + hyperparameters."""
-    luus, lsigs, alphas = [], [], []
+    """Rebuild (luu, lsig, alpha, vmat) for the current data + hyperparameters."""
+    luus, lsigs, alphas, vmats = [], [], [], []
     for d in range(sgp.n_out):
         noise_var = jnp.exp(2.0 * sgp.log_noise[d]) + _JITTER
-        luu, lsig, alpha = _factors_dim(
+        luu, lsig, alpha, vmat = _factors_dim(
             sgp.kern_types[d], sgp.params[d], sgp.z, sgp.x, sgp.mask,
             sgp.y[:, d], noise_var,
         )
         luus.append(luu)
         lsigs.append(lsig)
         alphas.append(alpha)
+        vmats.append(vmat)
     return sgp.replace(
-        luu=jnp.stack(luus), lsig=jnp.stack(lsigs), alpha=jnp.stack(alphas)
+        luu=jnp.stack(luus), lsig=jnp.stack(lsigs), alpha=jnp.stack(alphas),
+        vmat=jnp.stack(vmats),
     )
 
 
@@ -141,6 +159,7 @@ def sparse_gp_init(
         luu=jnp.zeros((e, m, m), dtype),
         lsig=jnp.zeros((e, m, m), dtype),
         alpha=jnp.zeros((e, m), dtype),
+        vmat=jnp.zeros((e, m, m), dtype),
         head=jnp.asarray(n, jnp.int32),
     )
     return sparse_gp_refit(sgp)
@@ -167,16 +186,18 @@ def sparse_gp_update_data(
 
 
 def sparse_gp_predict(sgp: SparseGP, zq: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Posterior mean and latent variance at one input zq (d_in,) -> ((e,), (e,))."""
+    """Posterior mean and latent variance at one input zq (d_in,) -> ((e,), (e,)).
+
+    Solve-free (mean: one matvec vs alpha; variance: one matvec vs the
+    precomputed vmat) — see _variance_mat.
+    """
     means, vars_ = [], []
     for d in range(sgp.n_out):
         kt, params = sgp.kern_types[d], sgp.params[d]
         kzu = gram(kt, params, zq[None, :], sgp.z)[0]  # (m,)
         mean = jnp.dot(kzu, sgp.alpha[d])
-        v_uu = jax.scipy.linalg.solve_triangular(sgp.luu[d], kzu, lower=True)
-        v_sig = jax.scipy.linalg.solve_triangular(sgp.lsig[d], kzu, lower=True)
         kzz = kernel_diag(kt, params, zq[None, :])[0]
-        var = kzz - jnp.dot(v_uu, v_uu) + jnp.dot(v_sig, v_sig)
+        var = kzz - jnp.dot(kzu, sgp.vmat[d] @ kzu)
         means.append(mean)
         vars_.append(jnp.maximum(var, 1e-12))
     return jnp.stack(means), jnp.stack(vars_)

@@ -87,8 +87,16 @@ def ssm_predict_jac(ssm, x: jax.Array, u: jax.Array):
     """
     n_s = x.shape[-1]
     z = jnp.concatenate([x, u], axis=-1)
-    mu, var = ssm.predict_latent(z)
-    jac_mu = jax.jacfwd(lambda zz: ssm.predict_latent(zz)[0])(z)
+
+    # one fused pass: jacfwd's primal computation is tangent-independent, so
+    # value and Jacobian share a single posterior evaluation (has_aux returns
+    # the primal) — the reachability hot path calls this per stage per Newton
+    # iteration, so the duplicate forward eval was pure waste.
+    def mean_with_aux(zz):
+        mu_, var_ = ssm.predict_latent(zz)
+        return mu_, (mu_, var_)
+
+    jac_mu, (mu, var) = jax.jacfwd(mean_with_aux, has_aux=True)(z)
     return mu, var, jac_mu[:, :n_s], jac_mu[:, n_s:]
 
 

@@ -39,7 +39,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["cholesky_blocked", "BLOCK"]
 
 BLOCK = 128
-_TINY = 1e-30
 
 
 def _acc_dtype(dtype) -> jnp.dtype:
@@ -72,7 +71,11 @@ def upper_chol_rows_ref(s_ref, r_ref, block: int) -> None:
     def body(j, _):
         row = s_ref[pl.ds(j, 1), :]                              # (1, B)
         sjj = jnp.sum(jnp.where(cols == j, row, 0.0))
-        d = jnp.sqrt(jnp.maximum(sjj, _TINY))
+        # Numerical breakdown (non-positive pivot) must surface as NaN — the
+        # same semantics as jnp.linalg.cholesky — so downstream finiteness /
+        # feasibility checks catch it. Clamping here would silently emit a
+        # garbage factor that corrupts the safety tube's posterior variances.
+        d = jnp.sqrt(sjj)
         row = jnp.where(cols > j, row / d, 0.0)
         row = jnp.where(cols == j, d, row)
         r_ref[pl.ds(j, 1), :] = row

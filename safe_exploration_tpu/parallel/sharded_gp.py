@@ -28,7 +28,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from safe_exploration_tpu.models.kernels import gram
-from safe_exploration_tpu.models.sparse_gp import SparseGP, _JITTER
+from safe_exploration_tpu.models.sparse_gp import SparseGP, _JITTER, _variance_mat
 
 __all__ = ["DATA_AXIS", "shard_sparse_gp", "sparse_gp_refit_sharded"]
 
@@ -48,6 +48,7 @@ def shard_sparse_gp(sgp: SparseGP, mesh: Mesh, axis: str = DATA_AXIS) -> SparseG
         luu=jax.device_put(sgp.luu, rep),
         lsig=jax.device_put(sgp.lsig, rep),
         alpha=jax.device_put(sgp.alpha, rep),
+        vmat=jax.device_put(sgp.vmat, rep),
     )
 
 
@@ -67,7 +68,7 @@ def sparse_gp_refit_sharded(
 
     def factors(z, x, y, mask, params, log_noise):
         # x, y, mask are LOCAL shards of the data axis
-        luus, lsigs, alphas = [], [], []
+        luus, lsigs, alphas, vmats = [], [], [], []
         for d in range(n_out):
             noise_var = jnp.exp(2.0 * log_noise[d]) + _JITTER
             kuf = gram(kern_types[d], params[d], z, x) * mask[None, :]  # (m, nl)
@@ -85,17 +86,22 @@ def sparse_gp_refit_sharded(
             luus.append(luu)
             lsigs.append(lsig)
             alphas.append(alpha)
-        return jnp.stack(luus), jnp.stack(lsigs), jnp.stack(alphas)
+            # replicated O(m^3) post-processing, no communication
+            vmats.append(_variance_mat(luu, lsig))
+        return (
+            jnp.stack(luus), jnp.stack(lsigs), jnp.stack(alphas),
+            jnp.stack(vmats),
+        )
 
     rep = P()
     sharded = shard_map(
         factors,
         mesh=mesh,
         in_specs=(rep, P(axis), P(axis), P(axis), rep, rep),
-        out_specs=(rep, rep, rep),
+        out_specs=(rep, rep, rep, rep),
         check_vma=False,
     )
-    luu, lsig, alpha = jax.jit(sharded)(
+    luu, lsig, alpha, vmat = jax.jit(sharded)(
         sgp.z, sgp.x, sgp.y, sgp.mask, sgp.params, sgp.log_noise
     )
-    return sgp.replace(luu=luu, lsig=lsig, alpha=alpha)
+    return sgp.replace(luu=luu, lsig=lsig, alpha=alpha, vmat=vmat)

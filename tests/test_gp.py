@@ -180,3 +180,49 @@ def test_mixed_kernel_types_loop_path(rng):
     assert np.isfinite(nll)
     gp2 = gp_fit(gp, iters=30)
     assert float(gp_nll(gp2.params, gp2.log_noise, gp2)) <= nll + 1e-6
+
+
+def test_kinv_matches_explicit_inverse(rng):
+    """The precomputed K^{-1} (solve-free predict path) equals the true inverse
+    of the masked Gram, including on padded slots (identity)."""
+    from safe_exploration_tpu.models.gp import _masked_gram
+
+    x, y = make_data(rng)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=40, log_noise=-2.0)
+    for d in range(2):
+        noise_var = np.exp(2.0 * float(gp.log_noise[d]))
+        k = np.asarray(_masked_gram("rbf", gp.params[d], gp.x, gp.mask, noise_var))
+        np.testing.assert_allclose(
+            np.asarray(gp.kinv[d]), np.linalg.inv(k), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_incremental_append_updates_kinv(rng):
+    """gp_append_point's O(n^2) Schur block-inverse update must agree with the
+    full refit's K^{-1} (and beta must follow)."""
+    x, y = make_data(rng, n=12)
+    gp_inc = gp_init(("rbf", "rbf"), x[:-3], y[:-3], n_max=20, log_noise=-2.0)
+    for i in range(3):
+        gp_inc = gp_append_point(gp_inc, x[9 + i], y[9 + i])
+    gp_full = gp_init(
+        ("rbf", "rbf"), x, y, n_max=20, log_noise=-2.0, params=gp_inc.params
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_inc.kinv), np.asarray(gp_full.kinv), rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_inc.beta), np.asarray(gp_full.beta), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_predict_jac_values_match_plain_predict(rng):
+    """The fused value+Jacobian path must return the same mean/var as
+    gp_predict (one shared forward evaluation, not a separate code path)."""
+    x, y = make_data(rng)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=40, log_noise=-2.0)
+    z = jnp.asarray(rng.standard_normal(3))
+    mean, var = gp_predict(gp, z)
+    m2, v2, jm, js = gp_predict_jac(gp, z)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mean), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(var), rtol=1e-12)
+    assert jm.shape == (2, 3) and js.shape == (2, 3)
