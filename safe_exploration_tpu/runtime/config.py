@@ -238,11 +238,21 @@ register_config(
     ExperimentConfig(name="pendulum_episode_sparse", ssm="sparse_gp",
                      n_inducing=32)
 )
-# exploration task (SURVEY.md §3.2)
+# exploration task (SURVEY.md §3.2) — greedy variant: information-seeking
+# trajectory planned from the current state
 register_config(
     ExperimentConfig(
         name="pendulum_exploration", task="exploration", objective="exploration",
         n_safe=3, n_steps=1,
+    )
+)
+# STATIC safe active learning (the reference's exploration_runner semantics):
+# the probe input z = (x, u) is itself the decision variable, constrained to
+# be n_safe-step returnable (solvers/static_exploration.py)
+register_config(
+    ExperimentConfig(
+        name="pendulum_exploration_static", task="exploration_static",
+        solver="sqp", n_safe=3, n_steps=1, sqp_outer=8, sqp_inner=4,
     )
 )
 # BASELINE.json config 3: mesh-sharded batch of parallel pendulum episodes

@@ -79,6 +79,19 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             n_iterations=cfg.n_ep * cfg.n_steps,
             n_init_samples=cfg.n_init_samples, **common,
         )
+    elif cfg.task == "exploration_static":
+        from safe_exploration_tpu.runtime.exploration import (
+            run_exploration_static,
+        )
+
+        out = run_exploration_static(
+            exp["env"], exp["a"], exp["b"], exp["k_fb"],
+            n_iterations=cfg.n_ep * cfg.n_steps,
+            n_init_samples=cfg.n_init_samples,
+            n_safe=cfg.n_safe, c_safety=cfg.c_safety,
+            sqp_outer=cfg.sqp_outer, sqp_inner=cfg.sqp_inner,
+            log_noise=cfg.log_noise, **common,
+        )
     elif cfg.task == "batch":
         import jax.numpy as jnp
 

@@ -106,8 +106,23 @@ def make_safempc(
             lam=jnp.zeros((n_duals,), dtype),
         )
 
-    def _shift_warm(k_ff_all: jax.Array) -> jax.Array:
-        return jnp.concatenate([k_ff_all[1:], jnp.zeros((1, n_u), dtype)], axis=0)
+    def _shift_warm(warm: jax.Array) -> jax.Array:
+        """Receding-horizon shift of the stacked decision matrix.
+
+        The warm matrix is [k_ff (n_safe) | u_perf_free (n_warm - n_safe)];
+        the two blocks are shifted INDEPENDENTLY (each duplicates its last
+        row), mirroring shift_duals. A uniform shift would leak the first
+        free performance control into the last safety stage — a control for
+        time r_shared, not n_safe (cross-block contamination that degrades
+        short-budget warm-start convergence).
+        """
+        k_ff = warm[:t_len]
+        k_ff = jnp.concatenate([k_ff[1:], k_ff[-1:]], axis=0)
+        if n_warm > t_len:
+            perf = warm[t_len:]
+            perf = jnp.concatenate([perf[1:], perf[-1:]], axis=0)
+            return jnp.concatenate([k_ff, perf], axis=0)
+        return k_ff
 
     def get_action(key, state: SafeMPCState, ssm: GPSSM, x: jax.Array):
         if n_duals > 0:

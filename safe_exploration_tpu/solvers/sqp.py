@@ -39,8 +39,8 @@ from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.reachability.onestep import multistep_reachability
 from safe_exploration_tpu.reachability.safety import lin_ellipsoid_safety_distance
 
-__all__ = ["SqpConfig", "solve_safempc_nlp", "make_sqp_planner", "sqp_warm_len",
-           "sqp_n_duals", "shift_duals"]
+__all__ = ["SqpConfig", "solve_al_nlp", "solve_safempc_nlp", "make_sqp_planner",
+           "sqp_warm_len", "sqp_n_duals", "shift_duals"]
 
 
 class SqpConfig(NamedTuple):
@@ -160,6 +160,118 @@ def sqp_warm_len(cfg: SqpConfig) -> int:
     return cfg.n_safe + (cfg.n_perf - r)
 
 
+def solve_al_nlp(
+    objective: Callable,
+    constraints: Callable,
+    u0: jax.Array,
+    lo: jax.Array,
+    hi: jax.Array,
+    cfg: SqpConfig,
+    lam_init: jax.Array | None = None,
+):
+    """Generic fixed-budget augmented-Lagrangian NLP core.
+
+        min_u objective(u)  s.t.  constraints(u) <= 0,  lo <= u <= hi
+
+    Rockafellar AL outer loop + damped projected-Newton inner iterations +
+    optional Gauss-Newton feasibility polish — everything fixed-shape ``lax``
+    ops, so the solve nests inside jit/vmap/scan. This is the engine under
+    BOTH the SafeMPC NLP (solve_safempc_nlp — the reference's IPOPT call,
+    SURVEY.md §2.5) and the static safe-active-learning probe NLP
+    (solvers/static_exploration.py — the reference's exploration_runner NLP,
+    SURVEY.md §3.2).
+
+    Returns (u_fin, lam_fin, g_fin): final primal, multipliers, constraints.
+    """
+    dtype = u0.dtype
+    n_var = u0.shape[0]
+    n_con = None  # resolved lazily from lam_init or a constraint eval
+
+    def al_value(u, lam, mu):
+        """Rockafellar augmented Lagrangian for inequalities g(u) <= 0."""
+        g = constraints(u)
+        shifted = jnp.maximum(lam + mu * g, 0.0)
+        return objective(u) + (1.0 / (2.0 * mu)) * jnp.sum(
+            shifted * shifted - lam * lam
+        )
+
+    al_value_grad = jax.value_and_grad(al_value)
+    al_hess = jax.hessian(al_value)
+
+    def inner_newton(u, lam, mu):
+        def newton_step(u, _):
+            f0, g = al_value_grad(u, lam, mu)
+            h = al_hess(u, lam, mu)
+            # Levenberg damping keeps the step well-defined when H is indefinite
+            # (AL Hessians of active-set switches are only PSD near the solution).
+            diag_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(h))), 1.0)
+            damp = cfg.newton_damping * diag_scale
+            eye = jnp.eye(n_var, dtype=dtype)
+
+            def try_solve(rho):
+                l = jnp.linalg.cholesky(0.5 * (h + h.T) + rho * eye)
+                y = jax.scipy.linalg.solve_triangular(l, -g, lower=True)
+                d = jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+                return d, jnp.all(jnp.isfinite(d))
+
+            d0, ok0 = try_solve(damp)
+            # fall back to a strongly-damped (gradient-like) step if Cholesky failed
+            d1, _ = try_solve(diag_scale)
+            d = jnp.where(ok0, d0, d1)
+
+            # fixed backtracking line search with projection onto the box
+            alphas = 0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype)
+            cands = jax.vmap(lambda al_: jnp.clip(u + al_ * d, lo, hi))(alphas)
+            vals = jax.vmap(lambda uu: al_value(uu, lam, mu))(cands)
+            vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+            best = jnp.argmin(vals)
+            u_new = jnp.where(vals[best] < f0, cands[best], u)
+            return u_new, None
+
+        u_out, _ = jax.lax.scan(newton_step, u, None, length=cfg.n_inner)
+        return u_out
+
+    def outer_step(carry, _):
+        u, lam, mu = carry
+        u = inner_newton(u, lam, mu)
+        g = constraints(u)
+        lam = jnp.maximum(lam + mu * g, 0.0)
+        mu = mu * cfg.mu_growth
+        return (u, lam, mu), None
+
+    u0 = jnp.clip(u0, lo, hi)
+    if lam_init is None:
+        n_con = jax.eval_shape(constraints, u0).shape[0]
+        lam0 = jnp.zeros((n_con,), dtype)
+    else:
+        lam0 = lam_init
+    (u_fin, lam_fin, _), _ = jax.lax.scan(
+        outer_step, (u0, lam0, jnp.asarray(cfg.mu0, dtype)), None,
+        length=cfg.n_outer,
+    )
+
+    if cfg.n_polish > 0:
+        # feasibility restoration: damped Gauss-Newton on the violation only.
+        # Guarded to never increase the violation (step rejected otherwise),
+        # so a feasible AL solution is untouched.
+        def polish_step(u, _):
+            g = constraints(u)
+            v = jnp.maximum(g, 0.0)
+            jac = jax.jacfwd(constraints)(u)           # (n_con, n_var)
+            jtv = jac.T @ v
+            jtj = jac.T @ (jac * (g > 0.0)[:, None])
+            d = jnp.linalg.solve(
+                jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv
+            )
+            u_new = jnp.clip(u + d, lo, hi)
+            better = jnp.sum(jnp.maximum(constraints(u_new), 0.0)) < jnp.sum(v)
+            return jnp.where(better, u_new, u), None
+
+        u_fin, _ = jax.lax.scan(polish_step, u_fin, None, length=cfg.n_polish)
+
+    return u_fin, lam_fin, constraints(u_fin)
+
+
 def solve_safempc_nlp(
     ssm: GPSSM,
     x0: jax.Array,
@@ -208,87 +320,14 @@ def solve_safempc_nlp(
         lo = jnp.concatenate([lo, jnp.full((n_dk,), -cfg.k_fb_bound, dtype)])
         hi = jnp.concatenate([hi, jnp.full((n_dk,), cfg.k_fb_bound, dtype)])
     n_con = (t_len * h_obs.shape[0]) + h_safe.shape[0]
-    n_var = lo.shape[0]
-
-    def al_value(u, lam, mu):
-        """Rockafellar augmented Lagrangian for inequalities g(u) <= 0."""
-        g = constraints(u)
-        shifted = jnp.maximum(lam + mu * g, 0.0)
-        return objective(u) + (1.0 / (2.0 * mu)) * jnp.sum(shifted * shifted - lam * lam)
-
-    al_value_grad = jax.value_and_grad(al_value)
-    al_hess = jax.hessian(al_value)
-
-    def inner_newton(u, lam, mu):
-        def newton_step(u, _):
-            f0, g = al_value_grad(u, lam, mu)
-            h = al_hess(u, lam, mu)
-            # Levenberg damping keeps the step well-defined when H is indefinite
-            # (AL Hessians of active-set switches are only PSD near the solution).
-            diag_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(h))), 1.0)
-            damp = cfg.newton_damping * diag_scale
-            eye = jnp.eye(n_var, dtype=dtype)
-
-            def try_solve(rho):
-                l = jnp.linalg.cholesky(0.5 * (h + h.T) + rho * eye)
-                y = jax.scipy.linalg.solve_triangular(l, -g, lower=True)
-                d = jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
-                return d, jnp.all(jnp.isfinite(d))
-
-            d0, ok0 = try_solve(damp)
-            # fall back to a strongly-damped (gradient-like) step if Cholesky failed
-            d1, _ = try_solve(diag_scale)
-            d = jnp.where(ok0, d0, d1)
-
-            # fixed backtracking line search with projection onto the box
-            alphas = 0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype)
-            cands = jax.vmap(lambda al_: jnp.clip(u + al_ * d, lo, hi))(alphas)
-            vals = jax.vmap(lambda uu: al_value(uu, lam, mu))(cands)
-            vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-            best = jnp.argmin(vals)
-            u_new = jnp.where(vals[best] < f0, cands[best], u)
-            return u_new, None
-
-        u_out, _ = jax.lax.scan(newton_step, u, None, length=cfg.n_inner)
-        return u_out
-
-    def outer_step(carry, _):
-        u, lam, mu = carry
-        u = inner_newton(u, lam, mu)
-        g = constraints(u)
-        lam = jnp.maximum(lam + mu * g, 0.0)
-        mu = mu * cfg.mu_growth
-        return (u, lam, mu), None
 
     u0 = u_init.reshape(-1)
     if cfg.opt_k_fb:
         u0 = jnp.concatenate([u0, jnp.zeros((t_len * n_u * n_s,), dtype)])
-    u0 = jnp.clip(u0, lo, hi)
     lam0 = jnp.zeros((n_con,), dtype) if lam_init is None else lam_init
-    (u_fin, lam_fin, _), _ = jax.lax.scan(
-        outer_step, (u0, lam0, jnp.asarray(cfg.mu0, dtype)), None, length=cfg.n_outer
+    u_fin, lam_fin, g_fin = solve_al_nlp(
+        objective, constraints, u0, lo, hi, cfg, lam_init=lam0
     )
-
-    if cfg.n_polish > 0:
-        # feasibility restoration: damped Gauss-Newton on the violation only.
-        # Guarded to never increase the violation (step rejected otherwise),
-        # so a feasible AL solution is untouched.
-        def polish_step(u, _):
-            g = constraints(u)
-            v = jnp.maximum(g, 0.0)
-            jac = jax.jacfwd(constraints)(u)           # (n_con, n_var)
-            jtv = jac.T @ v
-            jtj = jac.T @ (jac * (g > 0.0)[:, None])
-            d = jnp.linalg.solve(
-                jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv
-            )
-            u_new = jnp.clip(u + d, lo, hi)
-            better = jnp.sum(jnp.maximum(constraints(u_new), 0.0)) < jnp.sum(v)
-            return jnp.where(better, u_new, u), None
-
-        u_fin, _ = jax.lax.scan(polish_step, u_fin, None, length=cfg.n_polish)
-
-    g_fin = constraints(u_fin)
     violation = jnp.sum(jnp.maximum(g_fin, 0.0))
     feasible = violation <= cfg.feas_tol
     n_ctrl_flat = t_total * n_u
