@@ -60,6 +60,11 @@ class GP:
     beta: jax.Array     # (e, n_max) K^{-1} (mask * y_d) per dim
     kinv: jax.Array     # (e, n_max, n_max) K^{-1} per dim (see _kinv_from_chol)
     head: jax.Array     # () int32 ring-buffer write pointer
+    # "f32" (default) or "ff": refits compute the posterior factors in
+    # double-word float-float arithmetic (ops/ff.py) — fp64-equivalent
+    # factorization on f32-only TPUs, rounded to f32 only at storage. The
+    # correctness-critical mode of the BASELINE north star; ~10x refit cost.
+    precision: str = struct.field(pytree_node=False, default="f32")
 
     @property
     def n_max(self) -> int:
@@ -189,6 +194,25 @@ def gp_refit(gp: GP) -> GP:
     Gram build and factorization run as Pallas kernels (ops/pallas); this path
     is never differentiated (hyperopt's gp_nll keeps the XLA cholesky).
     """
+    if gp.precision == "ff":
+        from safe_exploration_tpu.ops.ff import gp_factors_ff
+
+        chols, betas, kinvs = [], [], []
+        for d in range(gp.n_out):
+            noise_var = jnp.exp(2.0 * gp.log_noise[d])
+            k = _masked_gram(
+                gp.kern_types[d], gp.params[d], gp.x, gp.mask, noise_var
+            )
+            l, b, ki = gp_factors_ff(
+                k.astype(jnp.float32), (gp.mask * gp.y[:, d]).astype(jnp.float32)
+            )
+            chols.append(l.astype(gp.x.dtype))
+            betas.append(b.astype(gp.x.dtype))
+            kinvs.append(ki.astype(gp.x.dtype))
+        return gp.replace(
+            chol=jnp.stack(chols), beta=jnp.stack(betas), kinv=jnp.stack(kinvs)
+        )
+
     kt = _uniform_kern(gp)
     # The HBM-tier Cholesky kernel drives its own grid/DMA schedule and must
     # not be lifted into a vmap grid — at that size use the per-dim loop below.
@@ -238,10 +262,12 @@ def gp_init(
     n_max: int,
     log_noise: float | jax.Array = -2.3,
     params: tuple | None = None,
+    precision: str = "f32",
 ) -> GP:
     """Build a GP from (possibly empty) initial data, padded to ``n_max`` rows.
 
     Parity: reference ``SimpleGPModel.__init__`` / ``train`` (SURVEY.md §2.3).
+    ``precision="ff"`` selects double-word float-float refits (see GP field).
     """
     n, d_in = x.shape
     e = y.shape[1]
@@ -267,6 +293,7 @@ def gp_init(
         beta=jnp.zeros((e, n_max), dtype),
         kinv=jnp.zeros((e, n_max, n_max), dtype),
         head=jnp.asarray(n, jnp.int32),
+        precision=precision,
     )
     return gp_refit(gp)
 

@@ -53,6 +53,12 @@ class McDropoutSSM:
     y: jax.Array          # (n_max, e)
     mask: jax.Array       # (n_max,)
     head: jax.Array       # () int32
+    # CONCRETE-DROPOUT variant (reference ssm_cem's concrete-dropout module,
+    # SURVEY.md §2.3 [M]): per-hidden-layer LEARNABLE keep probability,
+    # parameterized as a logit so it is an unconstrained pytree leaf trained
+    # jointly with the weights by mc_fit (via the concrete/Gumbel relaxation).
+    # None selects the fixed-keep_prob variant.
+    keep_logit: jax.Array | None = None  # (n_hidden_layers,)
 
     @property
     def n_out(self) -> int:
@@ -71,14 +77,44 @@ class McDropoutSSM:
         return jnp.exp(2.0 * self.log_noise)
 
 
+def _layer_keep_probs(ssm: McDropoutSSM):
+    """Per-hidden-layer keep probabilities: learned (sigmoid of keep_logit,
+    clipped away from 0/1) for the concrete variant, else the fixed scalar."""
+    n_hidden = len(ssm.weights) - 1
+    if ssm.keep_logit is None:
+        return [jnp.asarray(ssm.keep_prob) for _ in range(n_hidden)]
+    p = jnp.clip(jax.nn.sigmoid(ssm.keep_logit), 0.05, 0.99)
+    return [p[i] for i in range(n_hidden)]
+
+
 def _dropout_masks(ssm: McDropoutSSM, s: jax.Array) -> list:
     """Hidden-layer keep masks for MC pass ``s`` (inverted-dropout scaling)."""
     masks = []
     key = jax.random.fold_in(ssm.mask_key, s)
+    probs = _layer_keep_probs(ssm)
     for i, (w, _) in enumerate(ssm.weights[:-1]):
         k = jax.random.fold_in(key, i)
-        keep = jax.random.bernoulli(k, ssm.keep_prob, (w.shape[1],))
-        masks.append(keep.astype(w.dtype) / ssm.keep_prob)
+        keep = jax.random.bernoulli(k, probs[i], (w.shape[1],))
+        masks.append(keep.astype(w.dtype) / probs[i])
+    return masks
+
+
+def _concrete_masks(ssm: McDropoutSSM, key: jax.Array, temp: float = 0.1) -> list:
+    """Differentiable relaxed keep masks (Gal/Hron/Kendall concrete dropout):
+    z = sigmoid((logit(p) + logit(u)) / t), mask = z / p — gradients flow to
+    the keep_logit parameters through the mask."""
+    masks = []
+    probs = _layer_keep_probs(ssm)
+    for i, (w, _) in enumerate(ssm.weights[:-1]):
+        k = jax.random.fold_in(key, i)
+        u = jax.random.uniform(
+            k, (w.shape[1],), w.dtype, 1e-6, 1.0 - 1e-6
+        )
+        p = probs[i]
+        z = jax.nn.sigmoid(
+            (jnp.log(p) - jnp.log1p(-p) + jnp.log(u) - jnp.log1p(-u)) / temp
+        )
+        masks.append(z / p)
     return masks
 
 
@@ -110,8 +146,14 @@ def make_mc_dropout_ssm(
     n_samples: int = 16,
     keep_prob: float = 0.9,
     log_noise: float = -3.0,
+    concrete: bool = False,
 ) -> McDropoutSSM:
-    """Build (untrained) MC-dropout SSM from initial transitions; see mc_fit."""
+    """Build (untrained) MC-dropout SSM from initial transitions; see mc_fit.
+
+    ``concrete=True`` makes the per-layer keep probability a LEARNED parameter
+    (initialized at ``keep_prob``), trained jointly with the weights through
+    the concrete relaxation — the reference's concrete-dropout ssm_cem module.
+    """
     z = jnp.concatenate([x, u], axis=-1)
     d_in, e = z.shape[1], y.shape[1]
     dtype = x.dtype
@@ -131,12 +173,19 @@ def make_mc_dropout_ssm(
     xp = jnp.zeros((n_max, d_in), dtype).at[:n].set(z)
     yp = jnp.zeros((n_max, e), dtype).at[:n].set(y)
     mask = jnp.zeros((n_max,), dtype).at[:n].set(1.0)
+    keep_logit = None
+    if concrete:
+        p0 = jnp.clip(jnp.asarray(keep_prob, dtype), 0.05, 0.99)
+        keep_logit = jnp.full(
+            (len(dims) - 2,), jnp.log(p0) - jnp.log1p(-p0), dtype
+        )
     return McDropoutSSM(
         n_s=x.shape[1], n_samples=n_samples, keep_prob=keep_prob,
         weights=tuple(weights), mask_key=k_mask,
         log_noise=jnp.full((e,), log_noise, dtype),
         l_mu=l_mu, l_sigma=l_sigma,
         x=xp, y=yp, mask=mask, head=jnp.asarray(n, jnp.int32),
+        keep_logit=keep_logit,
     )
 
 
@@ -181,30 +230,66 @@ def mc_fit(
     """Fixed-budget Adam on masked MSE with per-step stochastic dropout.
 
     The L2 term is the KL regularizer of the dropout-as-Bayes objective.
+    Concrete variant (``keep_logit`` set): the per-layer keep probabilities
+    are trained jointly through differentiable concrete masks, with the
+    concrete-dropout regularizer (weight term scaled by 1/p, plus the
+    negative Bernoulli entropy that pulls p away from certainty).
     """
     opt = optax.adamw(lr, weight_decay=weight_decay)
     n_max = ssm.x.shape[0]
+    concrete = ssm.keep_logit is not None
+    n_eff = jnp.maximum(jnp.sum(ssm.mask), 1.0)
 
-    def loss(weights, step_key):
-        model = ssm.replace(weights=weights, mask_key=step_key)
+    def loss(theta, step_key):
+        weights, keep_logit = theta
+        model = ssm.replace(weights=weights, keep_logit=keep_logit)
+
+        if concrete:
+            def per_point(i, z, y, m):
+                masks = _concrete_masks(
+                    model, jax.random.fold_in(step_key, i)
+                )
+                h = z
+                for li, (w, b) in enumerate(weights[:-1]):
+                    h = jnp.tanh(h @ w + b) * masks[li]
+                w, b = weights[-1]
+                return m * jnp.sum((h @ w + b - y) ** 2)
+
+            total = jax.vmap(per_point)(
+                jnp.arange(n_max), ssm.x, ssm.y, ssm.mask
+            )
+            mse = jnp.sum(total) / n_eff
+            # concrete-dropout regularizer (Gal/Hron/Kendall eq. 3-5):
+            # per layer: ||W||^2 / p  +  dropout-entropy term
+            reg = jnp.asarray(0.0, mse.dtype)
+            probs = _layer_keep_probs(model)
+            for li, (w, _) in enumerate(weights[:-1]):
+                p = probs[li]
+                q = 1.0 - p
+                ent = p * jnp.log(p) + q * jnp.log(q)
+                reg = reg + weight_decay * jnp.sum(w * w) / p
+                reg = reg + (1e-3 * w.shape[1] / n_eff) * ent
+            return mse + reg
 
         def per_point(z, y, m):
             # one stochastic pass per point (mask index = 0 of a fresh key)
-            pred = _forward_once(model, z, jnp.asarray(0))
+            model_k = model.replace(mask_key=step_key)
+            pred = _forward_once(model_k, z, jnp.asarray(0))
             return m * jnp.sum((pred - y) ** 2)
 
         total = jax.vmap(per_point)(ssm.x, ssm.y, ssm.mask)
-        return jnp.sum(total) / jnp.maximum(jnp.sum(ssm.mask), 1.0)
+        return jnp.sum(total) / n_eff
 
-    state0 = opt.init(ssm.weights)
+    theta0 = (ssm.weights, ssm.keep_logit)
+    state0 = opt.init(theta0)
 
     def step(carry, k):
-        weights, opt_state = carry
-        g = jax.grad(loss)(weights, k)
-        updates, opt_state = opt.update(g, opt_state, weights)
-        weights = optax.apply_updates(weights, updates)
-        return (weights, opt_state), None
+        theta, opt_state = carry
+        g = jax.grad(loss)(theta, k)
+        updates, opt_state = opt.update(g, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, opt_state), None
 
     keys = jax.random.split(key, iters)
-    (weights, _), _ = jax.lax.scan(step, (ssm.weights, state0), keys)
-    return ssm.replace(weights=weights)
+    ((weights, keep_logit), _), _ = jax.lax.scan(step, (theta0, state0), keys)
+    return ssm.replace(weights=weights, keep_logit=keep_logit)

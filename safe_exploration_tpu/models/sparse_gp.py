@@ -285,8 +285,12 @@ class SparseGPSSM:
     sgp: SparseGP
     l_mu: jax.Array     # (n_s,)
     l_sigma: jax.Array  # (n_s,)
+    # optional input-normalization scales — see models/ssm.py::GPSSM.z_scale
+    z_scale: jax.Array | None = None
 
     def predict_latent(self, zq: jax.Array):
+        if self.z_scale is not None:
+            zq = zq / self.z_scale
         return sparse_gp_predict(self.sgp, zq)
 
     def noise_var(self) -> jax.Array:
@@ -304,11 +308,14 @@ def make_sparse_gp_ssm(
     l_mu: jax.Array,
     l_sigma: jax.Array,
     log_noise: float = -2.3,
+    z_scale: jax.Array | None = None,
 ) -> SparseGPSSM:
     """Build a sparse-GP SSM from transition data (x, u) -> residual y."""
     z = jnp.concatenate([x, u], axis=-1)
+    if z_scale is not None:
+        z = z / z_scale
     sgp = sparse_gp_init(
         kern_types, z, y, n_max=n_max, n_inducing=n_inducing,
         log_noise=log_noise,
     )
-    return SparseGPSSM(sgp=sgp, l_mu=l_mu, l_sigma=l_sigma)
+    return SparseGPSSM(sgp=sgp, l_mu=l_mu, l_sigma=l_sigma, z_scale=z_scale)

@@ -31,15 +31,25 @@ class GPSSM:
     l_mu / l_sigma: per-output-dim Lipschitz constants of the posterior-mean
     gradient and of the predictive std (SURVEY.md §2.2). The reference supplies
     them via config; they are carried here so reachability is self-contained.
+
+    z_scale: optional (d_in,) input-normalization scales (``[norm_x, norm_u]``).
+    The GP buffer holds NORMALIZED inputs; ``predict_latent`` divides raw z by
+    the scales, so every consumer (reachability Jacobians via jacfwd, Lipschitz
+    estimation via hessian) automatically chains through the scaling and sees
+    raw-input derivatives. Parity: the reference trains its GP on normalized
+    states (``environments.py::normalize``, SURVEY.md §2.7).
     """
 
     gp: GP
     l_mu: jax.Array     # (n_s,)
     l_sigma: jax.Array  # (n_s,)
+    z_scale: jax.Array | None = None  # (d_in,) or None (identity)
 
     # --- SSM protocol (shared with models/nn_ssm.McDropoutSSM) -------------
 
     def predict_latent(self, z: jax.Array) -> tuple[jax.Array, jax.Array]:
+        if self.z_scale is not None:
+            z = z / self.z_scale
         return gp_mod.gp_predict(self.gp, z)
 
     def noise_var(self) -> jax.Array:
@@ -56,11 +66,21 @@ def make_gp_ssm(
     l_mu: jax.Array,
     l_sigma: jax.Array,
     log_noise: float = -2.3,
+    z_scale: jax.Array | None = None,
+    precision: str = "f32",
 ) -> GPSSM:
-    """Build a GP-SSM from initial transition data (x_t, u_t) -> residual y_t."""
+    """Build a GP-SSM from initial transition data (x_t, u_t) -> residual y_t.
+
+    ``z_scale`` (optional, ``[norm_x, norm_u]``) trains the GP on normalized
+    inputs — lengthscales come out O(1) regardless of per-dimension state
+    scales (reference behavior, SURVEY.md §2.7).
+    """
     z = jnp.concatenate([x, u], axis=-1)
-    gp = gp_mod.gp_init(kern_types, z, y, n_max=n_max, log_noise=log_noise)
-    return GPSSM(gp=gp, l_mu=l_mu, l_sigma=l_sigma)
+    if z_scale is not None:
+        z = z / z_scale
+    gp = gp_mod.gp_init(kern_types, z, y, n_max=n_max, log_noise=log_noise,
+                        precision=precision)
+    return GPSSM(gp=gp, l_mu=l_mu, l_sigma=l_sigma, z_scale=z_scale)
 
 
 def ssm_predict(ssm, x: jax.Array, u: jax.Array):
@@ -123,6 +143,8 @@ def ssm_update(
     """
     if isinstance(ssm, GPSSM):
         z = jnp.concatenate([x, u], axis=-1)
+        if ssm.z_scale is not None:
+            z = z / ssm.z_scale
         return ssm.replace(
             gp=gp_mod.gp_update_data(ssm.gp, z, y, replace_old=replace_old)
         )
@@ -130,6 +152,8 @@ def ssm_update(
 
     if isinstance(ssm, sparse_gp.SparseGPSSM):
         z = jnp.concatenate([x, u], axis=-1)
+        if ssm.z_scale is not None:
+            z = z / ssm.z_scale
         return ssm.replace(
             sgp=sparse_gp.sparse_gp_update_data(
                 ssm.sgp, z, y, replace_old=replace_old
@@ -172,18 +196,66 @@ def ssm_n_points(ssm) -> jax.Array:
 
 
 def ssm_probe_points(ssm) -> jax.Array:
-    """Representative (padded) inputs of the model — the default probe set for
-    :func:`estimate_lipschitz` (training buffer; inducing inputs for the
-    sparse family)."""
+    """Representative (padded) inputs of the model in RAW units — the default
+    probe set for :func:`estimate_lipschitz` (training buffer; inducing inputs
+    for the sparse family). Buffers store normalized inputs when z_scale is
+    set, so they are unnormalized here (predict_latent re-normalizes)."""
     if isinstance(ssm, GPSSM):
-        return ssm.gp.x
+        return ssm.gp.x if ssm.z_scale is None else ssm.gp.x * ssm.z_scale
     from safe_exploration_tpu.models import nn_ssm, sparse_gp
 
     if isinstance(ssm, sparse_gp.SparseGPSSM):
-        return ssm.sgp.z
+        return ssm.sgp.z if ssm.z_scale is None else ssm.sgp.z * ssm.z_scale
     if isinstance(ssm, nn_ssm.McDropoutSSM):
         return ssm.x
     raise TypeError(f"unknown SSM family: {type(ssm)}")
+
+
+def lipschitz_probe_set(
+    spec, key: jax.Array, n_samples: int = 64,
+) -> jax.Array:
+    """Probe inputs covering the OPERATING REGION for Lipschitz calibration:
+    states sampled over the safe polytope's bounding box x controls over the
+    control box (VERDICT r1 weak #7 / SURVEY.md §7 hard-part 5 — probing only
+    at training inputs leaves the tube's soundness between/beyond data an
+    empirical hope). Combine with the training buffer via concatenation.
+
+    Samples the bounding box of {H x <= h_obs} (envs use box polytopes, so
+    box == polytope); out-of-polytope corner samples only make the estimate
+    MORE conservative, which is the safe direction for an upper bound.
+    """
+    from safe_exploration_tpu.solvers.static_exploration import (
+        polytope_box_bounds,
+    )
+
+    lo, hi = polytope_box_bounds(spec.h_mat_obs, spec.h_obs)
+    dtype = spec.u_min.dtype
+    kx, ku = jax.random.split(key)
+    n_s = spec.h_mat_obs.shape[1]
+    xs = jax.random.uniform(kx, (n_samples, n_s), dtype) * (
+        jnp.asarray(hi - lo, dtype)
+    ) + jnp.asarray(lo, dtype)
+    us = jax.random.uniform(
+        ku, (n_samples, spec.u_min.shape[0]), dtype
+    ) * (spec.u_max - spec.u_min) + spec.u_min
+    return jnp.concatenate([xs, us], axis=-1)
+
+
+def calibrate_lipschitz(
+    ssm, spec, key: jax.Array | None = None, *, n_region: int = 64,
+    factor: float = 2.0,
+):
+    """Standard calibration used by the runners: estimate l_mu / l_sigma over
+    the training buffer PLUS a sample of the whole operating region (safe
+    polytope x control box) — the bound must hold between/beyond data, where
+    the tube actually relies on it."""
+    probes = ssm_probe_points(ssm)
+    region = lipschitz_probe_set(
+        spec, jax.random.PRNGKey(0) if key is None else key, n_region
+    ).astype(probes.dtype)
+    return estimate_lipschitz(
+        ssm, jnp.concatenate([probes, region], axis=0), factor=factor
+    )
 
 
 def estimate_lipschitz(

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["FF", "ff", "two_sum", "two_prod", "ff_add", "ff_sub", "ff_mul",
-           "ff_div", "ff_sqrt", "ff_neg", "ff_to_f32", "cholesky_ff"]
+           "ff_div", "ff_sqrt", "ff_neg", "ff_to_f32", "cholesky_ff",
+           "trsm_ff", "gp_factors_ff"]
 
 # Dekker split constant for f32: 2^12 + 1 (splits 24-bit mantissa into 12+12)
 _SPLIT = jnp.float32(4097.0)
@@ -158,3 +159,69 @@ def cholesky_ff(a: jax.Array) -> FF:
         0, n, body, (jnp.asarray(a, jnp.float32), z, z, z)
     )
     return FF(l_hi, l_lo)
+
+
+def trsm_ff(l: FF, b, *, transpose: bool = False) -> FF:
+    """Double-word triangular solve ``L x = b`` (or ``L^T x = b``).
+
+    Forward/back substitution with every intermediate carried as an FF pair
+    — O(n^2) VPU work, used by the ``precision="ff"`` GP refit mode
+    (fp64-equivalent posterior factors on f32-only hardware).
+    """
+    n = l.hi.shape[0]
+    bf = b if isinstance(b, FF) else ff(jnp.asarray(b, jnp.float32))
+
+    def row(i):
+        return (l.hi[i, :], l.lo[i, :]) if not transpose else (
+            l.hi[:, i], l.lo[:, i]
+        )
+
+    def body(k, x):
+        i = k if not transpose else n - 1 - k
+        r_hi, r_lo = row(i)
+        # s = b_i - sum_j!=i L_ij x_j  (x is zero where not yet computed)
+        prod = ff_mul(FF(r_hi, r_lo), x)
+        mask = jnp.arange(n) != i
+        prod = FF(jnp.where(mask, prod.hi, 0.0), jnp.where(mask, prod.lo, 0.0))
+
+        def acc_body(j, acc):
+            return ff_add(acc, FF(prod.hi[j], prod.lo[j]))
+
+        zero = FF(jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        s = jax.lax.fori_loop(0, n, acc_body, zero)
+        rhs = ff_sub(FF(bf.hi[i], bf.lo[i]), s)
+        d = FF(l.hi[i, i], l.lo[i, i])
+        xi = ff_div(rhs, d)
+        return FF(x.hi.at[i].set(xi.hi), x.lo.at[i].set(xi.lo))
+
+    x0 = FF(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+def gp_factors_ff(k: jax.Array, y: jax.Array):
+    """fp64-equivalent GP posterior factors from an f32 Gram matrix.
+
+    Returns (chol_f32, beta_f32, kinv_f32): the double-word Cholesky, the
+    two ff triangular solves for beta = K^{-1} y, and K^{-1} built column-by-
+    column from ff solves against the identity — all rounded to f32 at the
+    END, so the only f32 error left is the final storage rounding (~1e-7
+    relative) instead of the factorization's eps*k(K) accumulation. This is
+    the ``precision="ff"`` refit mode (BASELINE north star: bitwise-stable
+    Cholesky at fp64-equivalent tolerance on f32-only TPUs).
+    """
+    lff = cholesky_ff(k)
+    z = trsm_ff(lff, y)
+    beta = trsm_ff(lff, z, transpose=True)
+
+    n = k.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def col(e):
+        w = trsm_ff(lff, e)
+        v = trsm_ff(lff, w, transpose=True)
+        return ff_to_f32(v)
+
+    kinv = jax.vmap(col, in_axes=1, out_axes=1)(eye)
+    # symmetrize the storage rounding
+    kinv = 0.5 * (kinv + kinv.T)
+    return ff_to_f32(lff), ff_to_f32(beta), kinv

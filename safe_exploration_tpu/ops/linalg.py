@@ -6,8 +6,9 @@ Replaces the reference's LAPACK/scipy call sites (SURVEY.md §2.10):
     which is jit-able, vmap-able and TPU-friendly (pure matmuls on the MXU).
   * exact discretization of the Jacobian linearization (``environments.py::
     linearize_discretize``) -> augmented matrix exponential.
-  * Cholesky-based PSD solves and a rank-1 Cholesky update for incremental GP
-    refits (BASELINE config 3).
+  * Cholesky-based PSD solves. (Incremental GP factor updates — bordered
+    Cholesky extension + Schur block-inverse — live in models/gp.py::
+    gp_append_point, the BASELINE-config-3 refit primitive.)
 
 Everything here is static-shaped straight-line XLA; no data-dependent control flow.
 """
@@ -22,7 +23,6 @@ __all__ = [
     "dlqr",
     "expm_discretize",
     "solve_psd_chol",
-    "cholesky_update_rank1",
 ]
 
 
@@ -108,33 +108,3 @@ def solve_psd_chol(chol_l: jax.Array, rhs: jax.Array) -> jax.Array:
     return jax.scipy.linalg.solve_triangular(chol_l.T, y, lower=False)
 
 
-def cholesky_update_rank1(chol_l: jax.Array, v: jax.Array) -> jax.Array:
-    """Rank-1 update: lower-triangular L' with L'L'^T = L L^T + v v^T.
-
-    Classical hyperbolic-rotation sweep expressed as a ``lax.scan`` over rows —
-    O(n^2), static shapes, vmap-able across a batch of episodes. This is the
-    incremental-Cholesky primitive behind per-episode GP refits (BASELINE
-    config 3): appending one data point to a GP whose factor is known costs a
-    bordered extension plus (on hyperparameter-fixed noise bumps) rank-1 updates,
-    instead of a fresh O(n^3) factorization.
-    """
-    n = chol_l.shape[-1]
-
-    def row_step(carry, i):
-        l_mat, w = carry
-        d = l_mat[i, i]
-        wi = w[i]
-        r = jnp.sqrt(d * d + wi * wi)
-        c = r / d
-        s = wi / d
-        # Update column i below the diagonal (rows > i), and the workspace.
-        col = l_mat[:, i]
-        new_col = (col + s * w) / c
-        new_w = c * w - s * new_col
-        row_mask = jnp.arange(n) >= i
-        l_mat = l_mat.at[:, i].set(jnp.where(row_mask, new_col, col))
-        w = jnp.where(row_mask, new_w, w)
-        return (l_mat, w), None
-
-    (l_out, _), _ = jax.lax.scan(row_step, (chol_l, v), jnp.arange(n))
-    return l_out

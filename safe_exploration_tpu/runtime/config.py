@@ -49,7 +49,9 @@ class ExperimentConfig:
     objective: str = "tracking"      # "tracking" | "exploration"
 
     # SSM (family selected by config — reference's CemSSM backends, §2.6)
-    ssm: str = "gp"                  # "gp" | "sparse_gp" | "mc_dropout"
+    # "gp" | "sparse_gp" | "mc_dropout" | "mc_dropout_concrete" (learned
+    # per-layer keep probability — the reference's concrete-dropout ssm_cem)
+    ssm: str = "gp"
     kern_types: tuple = ("rbf", "rbf")
     n_max: int = 512                 # padded GP capacity
     n_inducing: int = 64             # sparse-GP inducing points
@@ -58,6 +60,13 @@ class ExperimentConfig:
     l_mu: float = 0.5                # Lipschitz const of GP mean gradient (per dim)
     l_sigma: float = 0.25            # Lipschitz const of predictive std (per dim)
     log_noise: float = -3.0
+    # train the GP on normalized inputs z / [norm_x, norm_u] (reference
+    # behavior — environments.py::normalize, SURVEY.md §2.7): lengthscales
+    # come out O(1) regardless of per-dimension state scales
+    normalize_inputs: bool = True
+    # GP refit arithmetic: "f32" | "ff" (double-word float-float factors —
+    # fp64-equivalent refits on f32-only TPUs, ~10x refit cost; ops/ff.py)
+    precision: str = "f32"
 
     # safe-MPC
     n_safe: int = 5                  # safety horizon
@@ -174,12 +183,17 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         """SSM factory (family per cfg.ssm) — the runners' model constructor."""
         l_mu = jnp.full((spec.n_s,), cfg.l_mu, dtype_)
         l_sigma = jnp.full((spec.n_s,), cfg.l_sigma, dtype_)
+        z_scale = (
+            jnp.concatenate([spec.norm_x, spec.norm_u])
+            if cfg.normalize_inputs else None
+        )
         if cfg.ssm == "gp":
             from safe_exploration_tpu.models import make_gp_ssm
 
             return make_gp_ssm(
                 kern_types, xs, us, resid, n_max=cfg.n_max,
                 l_mu=l_mu, l_sigma=l_sigma, log_noise=cfg.log_noise,
+                z_scale=z_scale, precision=cfg.precision,
             )
         if cfg.ssm == "sparse_gp":
             from safe_exploration_tpu.models.sparse_gp import make_sparse_gp_ssm
@@ -187,9 +201,9 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
             return make_sparse_gp_ssm(
                 kern_types, xs, us, resid, n_max=cfg.n_max,
                 n_inducing=cfg.n_inducing, l_mu=l_mu, l_sigma=l_sigma,
-                log_noise=cfg.log_noise,
+                log_noise=cfg.log_noise, z_scale=z_scale,
             )
-        if cfg.ssm == "mc_dropout":
+        if cfg.ssm in ("mc_dropout", "mc_dropout_concrete"):
             from safe_exploration_tpu.models.nn_ssm import make_mc_dropout_ssm
 
             return make_mc_dropout_ssm(
@@ -197,6 +211,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
                 l_mu=l_mu, l_sigma=l_sigma,
                 hidden=tuple(int(h) for h in cfg.mc_hidden),
                 n_samples=cfg.mc_samples, log_noise=cfg.log_noise,
+                concrete=(cfg.ssm == "mc_dropout_concrete"),
             )
         raise ValueError(f"unknown ssm family: {cfg.ssm}")
     return {
@@ -233,6 +248,11 @@ register_config(ExperimentConfig(name="pendulum_episode_sqp", solver="sqp"))
 # alternative SSM families (reference ssm_cem backends, SURVEY.md §2.6)
 register_config(
     ExperimentConfig(name="pendulum_episode_mcdropout", ssm="mc_dropout")
+)
+register_config(
+    ExperimentConfig(
+        name="pendulum_episode_concrete", ssm="mc_dropout_concrete"
+    )
 )
 register_config(
     ExperimentConfig(name="pendulum_episode_sparse", ssm="sparse_gp",

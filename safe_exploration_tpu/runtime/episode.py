@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from safe_exploration_tpu.envs.base import Env, env_reset, env_step
 from safe_exploration_tpu.models.ssm import (
     GPSSM,
-    estimate_lipschitz,
+    calibrate_lipschitz as _calibrate_lipschitz,
     make_gp_ssm,
     ssm_fit,
     ssm_n_points,
@@ -178,8 +178,8 @@ def run_episodic(
     def fit_and_calibrate(s):
         s = ssm_fit(s, iters=hyp_iters)
         if calibrate_lipschitz:
-            # probe at the (padded) training inputs; padding rows probe the origin
-            s = estimate_lipschitz(s, ssm_probe_points(s))
+            # training buffer + safe-region samples (VERDICT r1 item 9)
+            s = _calibrate_lipschitz(s, env.spec)
         return s
 
     fit_fn = jax.jit(fit_and_calibrate)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from safe_exploration_tpu.envs.base import Env, env_reset, env_step
 from safe_exploration_tpu.models.ssm import (
-    estimate_lipschitz,
+    calibrate_lipschitz,
     make_gp_ssm,
     ssm_fit,
     ssm_n_points,
@@ -74,7 +74,8 @@ def run_exploration(
 
     def fit_and_calibrate(s):
         s = ssm_fit(s, iters=hyp_iters)
-        return estimate_lipschitz(s, ssm_probe_points(s))
+        # calibrate over training buffer + safe-region samples (VERDICT r1 #9)
+        return calibrate_lipschitz(s, env.spec)
 
     fit_fn = jax.jit(fit_and_calibrate)
     ssm = fit_fn(ssm)
@@ -180,7 +181,8 @@ def run_exploration_static(
 
     def fit_and_calibrate(s):
         s = ssm_fit(s, iters=hyp_iters)
-        return estimate_lipschitz(s, ssm_probe_points(s))
+        # calibrate over training buffer + safe-region samples (VERDICT r1 #9)
+        return calibrate_lipschitz(s, env.spec)
 
     fit_fn = jax.jit(fit_and_calibrate)
     ssm = fit_fn(ssm)

@@ -96,7 +96,7 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
         import jax.numpy as jnp
 
         from safe_exploration_tpu.models.ssm import (
-            estimate_lipschitz,
+            calibrate_lipschitz,
             ssm_fit,
             ssm_probe_points,
         )
@@ -115,7 +115,7 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
 
         def _fit_cal(s):
             s = ssm_fit(s, iters=cfg.hyp_iters)
-            return estimate_lipschitz(s, ssm_probe_points(s))
+            return calibrate_lipschitz(s, exp["env"].spec)
 
         ssm = jax.jit(_fit_cal)(ssm)
         # mesh over at most `lanes` devices; lanes rounded up to a multiple of
@@ -150,7 +150,7 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
 
         from safe_exploration_tpu.runtime.episode import collect_initial_data
         from safe_exploration_tpu.models import make_gp_ssm, ssm_fit
-        from safe_exploration_tpu.models.ssm import estimate_lipschitz
+        from safe_exploration_tpu.models.ssm import calibrate_lipschitz
         from safe_exploration_tpu.runtime.uncertainty import run_uncertainty_estimation
 
         k1, k2 = jax.random.split(key)
@@ -162,7 +162,7 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], log_noise=cfg.log_noise,
         )
         ssm = ssm_fit(ssm, iters=cfg.hyp_iters)
-        ssm = estimate_lipschitz(ssm, ssm.gp.x)
+        ssm = calibrate_lipschitz(ssm, exp["env"].spec)
         out = run_uncertainty_estimation(
             exp["env"], ssm, exp["a"], exp["b"], exp["k_fb"],
             key=k2,

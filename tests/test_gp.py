@@ -226,3 +226,53 @@ def test_predict_jac_values_match_plain_predict(rng):
     np.testing.assert_allclose(np.asarray(m2), np.asarray(mean), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(var), rtol=1e-12)
     assert jm.shape == (2, 3) and js.shape == (2, 3)
+
+
+def test_z_scale_normalized_training_equivalence(rng):
+    """A GPSSM trained on z/z_scale with lengthscales ell must predict
+    EXACTLY like a raw-input GPSSM with lengthscales ell*z_scale (RBF is a
+    function of scaled differences), and its Jacobians must chain through
+    the scaling. Parity: reference normalized-input training (SURVEY.md §2.7)."""
+    from safe_exploration_tpu.models.ssm import make_gp_ssm, ssm_predict_jac
+
+    x = jnp.asarray(rng.standard_normal((20, 2)))
+    u = jnp.asarray(rng.standard_normal((20, 1)))
+    y = jnp.asarray(rng.standard_normal((20, 2))) * 0.01
+    l_mu = jnp.full((2,), 0.1)
+    l_sigma = jnp.full((2,), 0.1)
+    z_scale = jnp.asarray([2.0, 0.5, 3.0])
+
+    ssm_n = make_gp_ssm(("rbf", "rbf"), x, u, y, n_max=32,
+                        l_mu=l_mu, l_sigma=l_sigma, z_scale=z_scale)
+    ssm_r = make_gp_ssm(("rbf", "rbf"), x, u, y, n_max=32,
+                        l_mu=l_mu, l_sigma=l_sigma)
+    # match hyperparameters: raw lengthscales = normalized ell * z_scale
+    from safe_exploration_tpu.models.gp import gp_refit
+
+    params_r = tuple(
+        {**p, "log_lengthscales": p["log_lengthscales"] + jnp.log(z_scale)}
+        for p in ssm_n.gp.params
+    )
+    ssm_r = ssm_r.replace(gp=gp_refit(ssm_r.gp.replace(params=params_r)))
+
+    xq = jnp.asarray(rng.standard_normal(2))
+    uq = jnp.asarray(rng.standard_normal(1))
+    mu_n, var_n, jx_n, ju_n = ssm_predict_jac(ssm_n, xq, uq)
+    mu_r, var_r, jx_r, ju_r = ssm_predict_jac(ssm_r, xq, uq)
+    np.testing.assert_allclose(np.asarray(mu_n), np.asarray(mu_r), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_n), np.asarray(var_r), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(jx_n), np.asarray(jx_r), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ju_n), np.asarray(ju_r), rtol=1e-8)
+
+    # update path normalizes too: appending through ssm_update keeps parity
+    from safe_exploration_tpu.models.ssm import ssm_update
+
+    x2 = jnp.asarray(rng.standard_normal((3, 2)))
+    u2 = jnp.asarray(rng.standard_normal((3, 1)))
+    y2 = jnp.asarray(rng.standard_normal((3, 2))) * 0.01
+    ssm_n2 = ssm_update(ssm_n, x2, u2, y2)
+    ssm_r2 = ssm_update(ssm_r, x2, u2, y2)
+    mu_n2, var_n2 = ssm_n2.predict_latent(jnp.concatenate([xq, uq]))
+    mu_r2, var_r2 = ssm_r2.predict_latent(jnp.concatenate([xq, uq]))
+    np.testing.assert_allclose(np.asarray(mu_n2), np.asarray(mu_r2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_n2), np.asarray(var_r2), rtol=1e-9)

@@ -7,7 +7,6 @@ import pytest
 import scipy.linalg
 
 from safe_exploration_tpu.ops import dare_sda, dlqr, expm_discretize, solve_psd_chol
-from safe_exploration_tpu.ops.linalg import cholesky_update_rank1
 
 
 def random_system(rng, n, m):
@@ -73,15 +72,3 @@ def test_solve_psd_chol(rng):
     rhs = rng.standard_normal((n, 3))
     x = solve_psd_chol(jnp.asarray(l), jnp.asarray(rhs))
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(k, rhs), rtol=1e-9)
-
-
-def test_cholesky_rank1_update(rng):
-    n = 8
-    a = rng.standard_normal((n, n))
-    k = a @ a.T + n * np.eye(n)
-    l = np.linalg.cholesky(k)
-    v = rng.standard_normal(n)
-    l_up = np.asarray(cholesky_update_rank1(jnp.asarray(l), jnp.asarray(v)))
-    np.testing.assert_allclose(l_up @ l_up.T, k + np.outer(v, v), rtol=1e-9, atol=1e-9)
-    # stays lower-triangular
-    np.testing.assert_allclose(l_up, np.tril(l_up), atol=1e-12)

@@ -78,3 +78,66 @@ def test_grad_through_remainder(rng):
 
     g = jax.grad(f)(q)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_calibrated_bounds_conservative_off_data(key):
+    """VERDICT r1 item 9: constants calibrated over the OPERATING REGION must
+    dominate sampled true Taylor remainders / std increments at off-data
+    states — the tube's soundness between/beyond training data."""
+    import numpy as np
+
+    from safe_exploration_tpu.envs import (
+        env_step, linearize_discretize, make_pendulum,
+    )
+    from safe_exploration_tpu.models import make_gp_ssm
+    from safe_exploration_tpu.models.ssm import (
+        calibrate_lipschitz,
+        estimate_lipschitz,
+        lipschitz_probe_set,
+        ssm_probe_points,
+    )
+
+    env = make_pendulum(dtype=jnp.float64, plant_noise=0.0)
+    a, b = linearize_discretize(env)
+    kx, ku, kn, kp, kq = jax.random.split(key, 5)
+    # training data clustered near the origin — off-data = rest of safe box
+    xs = 0.15 * jax.random.normal(kx, (40, 2), jnp.float64)
+    us = 0.5 * jax.random.uniform(ku, (40, 1), jnp.float64, -1, 1)
+    _, x_next = jax.vmap(lambda x, u: env_step(env, kn, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+    ssm = make_gp_ssm(("rbf", "rbf"), xs, us, resid, n_max=64,
+                      l_mu=jnp.ones(2), l_sigma=jnp.ones(2), log_noise=-4.0)
+
+    ssm_cal = calibrate_lipschitz(ssm, env.spec, kq)
+    ssm_train_only = estimate_lipschitz(ssm, ssm_probe_points(ssm))
+
+    # region calibration must not be LESS conservative than training-only
+    assert np.all(np.asarray(ssm_cal.l_mu) >= np.asarray(ssm_train_only.l_mu) - 1e-12)
+    assert np.all(
+        np.asarray(ssm_cal.l_sigma) >= np.asarray(ssm_train_only.l_sigma) - 1e-12
+    )
+
+    # empirical dominance at off-data states: remainder of the linearization
+    # between nearby region points bounded by 0.5 * l_mu * ||dz||^2, std
+    # increment by l_sigma * ||dz||
+    z0s = lipschitz_probe_set(env.spec, kp, 40)
+    dz = 0.05 * jax.random.normal(jax.random.fold_in(kp, 1), z0s.shape, jnp.float64)
+
+    def taylor_gap(z0, d):
+        mu0, var0 = ssm_cal.predict_latent(z0)
+        mu1, var1 = ssm_cal.predict_latent(z0 + d)
+        jac = jax.jacfwd(lambda z: ssm_cal.predict_latent(z)[0])(z0)
+        gap_mu = jnp.abs(mu1 - mu0 - jac @ d)
+        gap_sig = jnp.abs(jnp.sqrt(var1) - jnp.sqrt(var0))
+        return gap_mu, gap_sig
+
+    gaps_mu, gaps_sig = jax.vmap(taylor_gap)(z0s, dz)
+    nrm = jnp.linalg.norm(dz, axis=-1)
+    bound_mu = 0.5 * ssm_cal.l_mu[None, :] * (nrm ** 2)[:, None]
+    bound_sig = ssm_cal.l_sigma[None, :] * nrm[:, None]
+    assert np.all(np.asarray(gaps_mu) <= np.asarray(bound_mu) + 1e-10), (
+        np.max(np.asarray(gaps_mu) - np.asarray(bound_mu))
+    )
+    assert np.all(np.asarray(gaps_sig) <= np.asarray(bound_sig) + 1e-10), (
+        np.max(np.asarray(gaps_sig) - np.asarray(bound_sig))
+    )
