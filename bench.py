@@ -216,25 +216,31 @@ def bench_large_gp(n: int = 10240, m: int = 256, d: int = 7, e: int = 2):
     return refit_ms, pred_us
 
 
-def bench_pallas_chol(n: int = 512):
-    """Blocked Pallas Cholesky vs XLA's cholesky at GP-buffer size."""
+def bench_pallas_chol(n: int = 512, batch: int = 8):
+    """Blocked Pallas Cholesky vs XLA at GP-buffer size: BOTH the batched
+    regime (what the dispatcher selects — vmapped over output dims / episode
+    lanes) and single-matrix (where XLA wins and the dispatcher keeps XLA)."""
     from safe_exploration_tpu.ops.pallas import cholesky_blocked, on_tpu
 
     key = jax.random.PRNGKey(0)
     mmat = jax.random.normal(key, (n, n), jnp.float32)
-    a = mmat @ mmat.T + n * jnp.eye(n, dtype=jnp.float32)
+    a1 = mmat @ mmat.T + n * jnp.eye(n, dtype=jnp.float32)
+    ab = jnp.stack([a1 + i * jnp.eye(n, dtype=jnp.float32) for i in range(batch)])
     results = {}
-    for name, f in [
-        ("pallas", jax.jit(cholesky_blocked)),
-        ("xla", jax.jit(jnp.linalg.cholesky)),
-    ]:
-        if name == "pallas" and not on_tpu():
+    cases = [
+        ("pallas", a1, jax.jit(cholesky_blocked)),
+        ("xla", a1, jax.jit(jnp.linalg.cholesky)),
+        ("pallas_batched", ab, jax.jit(jax.vmap(cholesky_blocked))),
+        ("xla_batched", ab, jax.jit(jax.vmap(jnp.linalg.cholesky))),
+    ]
+    for name, arg, f in cases:
+        if name.startswith("pallas") and not on_tpu():
             results[name] = float("nan")
             continue
-        jax.block_until_ready(f(a))
+        jax.block_until_ready(f(arg))
         t0 = time.perf_counter()
         for _ in range(50):
-            out = f(a)
+            out = f(arg)
         jax.block_until_ready(out)
         results[name] = (time.perf_counter() - t0) / 50 * 1e3
     return results
@@ -310,7 +316,10 @@ def main():
     )
     chol_ms, pred_ms = _safe(bench_gp_latency, (nan, nan))
     sgp_refit_ms, sgp_pred_us = _safe(bench_large_gp, (nan, nan))
-    chol_tier = _safe(bench_pallas_chol, {"pallas": nan, "xla": nan})
+    chol_tier = _safe(
+        bench_pallas_chol,
+        {"pallas": nan, "xla": nan, "pallas_batched": nan, "xla_batched": nan},
+    )
     err_ff, err_f32 = _safe(bench_ff_chol, (nan, nan))
     ff_refit_ms = _safe(bench_ff_refit, nan)
 
@@ -333,6 +342,8 @@ def main():
         "sparse_gp_predict_us_n10k": round(sgp_pred_us, 2),
         "pallas_chol_ms_n512": round(chol_tier["pallas"], 3),
         "xla_chol_ms_n512": round(chol_tier["xla"], 3),
+        "pallas_chol_batched8_ms_n512": round(chol_tier["pallas_batched"], 3),
+        "xla_chol_batched8_ms_n512": round(chol_tier["xla_batched"], 3),
         "ff_chol_rel_err_n256": float(f"{err_ff:.3e}"),
         "f32_chol_rel_err_n256": float(f"{err_f32:.3e}"),
         "ff_refit_ms_n128": round(ff_refit_ms, 2),
