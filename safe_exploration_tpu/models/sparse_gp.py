@@ -312,10 +312,14 @@ def make_sparse_gp_ssm(
 ) -> SparseGPSSM:
     """Build a sparse-GP SSM from transition data (x, u) -> residual y."""
     z = jnp.concatenate([x, u], axis=-1)
+    params = None
     if z_scale is not None:
         z = z / z_scale
+        from safe_exploration_tpu.models.ssm import _scale_consistent_params
+
+        params = _scale_consistent_params(kern_types, z_scale)
     sgp = sparse_gp_init(
         kern_types, z, y, n_max=n_max, n_inducing=n_inducing,
-        log_noise=log_noise,
+        log_noise=log_noise, params=params,
     )
     return SparseGPSSM(sgp=sgp, l_mu=l_mu, l_sigma=l_sigma, z_scale=z_scale)

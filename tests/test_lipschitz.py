@@ -109,9 +109,10 @@ def test_calibrated_bounds_conservative_off_data(key):
                       l_mu=jnp.ones(2), l_sigma=jnp.ones(2), log_noise=-4.0)
 
     ssm_cal = calibrate_lipschitz(ssm, env.spec, kq)
-    ssm_train_only = estimate_lipschitz(ssm, ssm_probe_points(ssm))
+    # at MATCHED factor, region calibration must not be LESS conservative
+    # than training-only probing (its probe set is a superset)
+    ssm_train_only = estimate_lipschitz(ssm, ssm_probe_points(ssm), factor=1.2)
 
-    # region calibration must not be LESS conservative than training-only
     assert np.all(np.asarray(ssm_cal.l_mu) >= np.asarray(ssm_train_only.l_mu) - 1e-12)
     assert np.all(
         np.asarray(ssm_cal.l_sigma) >= np.asarray(ssm_train_only.l_sigma) - 1e-12
