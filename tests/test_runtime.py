@@ -303,3 +303,40 @@ def test_cartpole_sqp_config_wires_joint_trajectories():
     assert state.warm_mean.shape == (10 + 10 - 2, 1)
     n_duals = 10 * exp["env"].spec.h_obs.shape[0] + exp["env"].spec.h_safe.shape[0]
     assert state.lam.shape == (n_duals,)
+
+
+def test_orbax_backend_roundtrips_sharded_state(tmp_path):
+    """The multi-chip checkpoint path: a data-sharded SparseGP saved through
+    the orbax backend restores onto the mesh with shardings AND values intact
+    (closes STATUS r1 gap 'orbax-based sharded checkpointing')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from safe_exploration_tpu.models.sparse_gp import sparse_gp_init
+    from safe_exploration_tpu.parallel import make_mesh, shard_sparse_gp
+    from safe_exploration_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    mesh = make_mesh(8, axis="data")
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (128, 3))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (128, 2))
+    sgp = shard_sparse_gp(
+        sparse_gp_init(("rbf", "rbf"), x, y, n_max=128, n_inducing=16), mesh
+    )
+
+    path = str(tmp_path / "sgp_ckpt")
+    save_checkpoint(path, sgp, backend="orbax")
+    restored = load_checkpoint(path, template=sgp)
+
+    for got, want in zip(jax.tree.leaves(restored), jax.tree.leaves(sgp)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        if hasattr(want, "sharding"):
+            assert got.sharding.is_equivalent_to(want.sharding, want.ndim), (
+                got.sharding, want.sharding
+            )
+    # static metadata survives via the treedef sidecar
+    assert restored.kern_types == sgp.kern_types
