@@ -29,10 +29,13 @@ def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype):
     from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
 
     # GN-AL at 10x3 with 3 line-search candidates + 3 polish steps: measured
-    # feasibility 0.691 on this cold-start distribution vs an oracle ceiling
-    # of 0.695 (25x8 exact-Hessian budget) — i.e. the fast budget converges
-    # essentially every solvable instance; the remaining ~30% of random x0s
-    # are genuinely infeasible tube instances (the fallback chain's job).
+    # feasibility 0.875 on this cold-start distribution vs an oracle ceiling
+    # of 0.904 (25x8 exact-Hessian budget, f32-accurate matmuls) — the fast
+    # budget converges ~97% of solvable instances; the remaining ~10% of
+    # random x0s are genuinely infeasible tube instances (the fallback
+    # chain's job). Both numbers require the package's f32 matmul-precision
+    # policy: under TPU's bf16 MXU default the tubes inflate with variance
+    # noise and the apparent ceiling drops to 0.695.
     cfg = ExperimentConfig(
         name="bench", solver="sqp", n_safe=n_safe, n_max=n_max,
         sqp_outer=10, sqp_inner=3,
@@ -331,8 +334,8 @@ def main():
         "batch": args.batch,
         "feasible_frac": round(feasible_frac, 3),
         # feasible-only throughput: discounts fallback-trigger returns
-        # (~30% of this random-x0 distribution is genuinely infeasible —
-        # oracle ceiling 0.695 measured at a 25x8 exact-Hessian budget)
+        # (~10% of this random-x0 distribution is genuinely infeasible —
+        # oracle ceiling 0.904 measured at a 25x8 exact-Hessian budget)
         "feasible_solves_per_sec": round(solves_per_sec * feasible_frac, 1),
         "warm_solves_per_sec": round(warm_sps, 1),
         "warm_feasible_frac": round(warm_feas, 3),

@@ -340,3 +340,15 @@ def test_orbax_backend_roundtrips_sharded_state(tmp_path):
             )
     # static metadata survives via the treedef sidecar
     assert restored.kern_types == sgp.kern_types
+
+
+def test_matmul_precision_policy_active():
+    """Importing the package must pin f32-accurate matmuls: TPU's bf16 MXU
+    default corrupts posterior variances through the solve-free quadratic
+    forms and inflates safety tubes (observed feasibility 1.0 -> 0.05 on the
+    256-lane batch config before this policy)."""
+    import jax
+
+    import safe_exploration_tpu  # noqa: F401  (policy applies at import)
+
+    assert str(jax.config.jax_default_matmul_precision) == "highest"
