@@ -219,10 +219,53 @@ def bench_large_gp(n: int = 10240, m: int = 256, d: int = 7, e: int = 2):
     return refit_ms, pred_us
 
 
+def bench_pallas_gram_trsm(n: int = 512, d: int = 3):
+    """The Pallas regimes the dispatcher SELECTS under the f32 matmul-
+    precision policy: the fused masked-RBF Gram (vs XLA's multi-op
+    composition) and the blocked TRSM (vs XLA's triangular solve) — both
+    production call sites in gp_refit/_kinv_from_chol."""
+    from safe_exploration_tpu.models.gp import _masked_gram
+    from safe_exploration_tpu.ops.pallas import (
+        on_tpu,
+        rbf_gram_masked,
+        trsm_lower_blocked,
+    )
+
+    if not on_tpu():
+        return {k: float("nan") for k in
+                ("gram_pallas", "gram_xla", "trsm_pallas", "trsm_xla")}
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, d), jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+    params = {"log_lengthscales": jnp.zeros((d,), jnp.float32),
+              "log_sf": jnp.zeros((), jnp.float32)}
+    noise = jnp.asarray(0.01, jnp.float32)
+    k_x = _masked_gram("rbf", params, x, mask, noise)
+    l = jnp.linalg.cholesky(k_x)
+    eye = jnp.eye(n, dtype=jnp.float32)
+    cases = {
+        "gram_pallas": jax.jit(lambda: rbf_gram_masked(params, x, mask, noise)),
+        "gram_xla": jax.jit(lambda: _masked_gram("rbf", params, x, mask, noise)),
+        "trsm_pallas": jax.jit(lambda: trsm_lower_blocked(l, eye)),
+        "trsm_xla": jax.jit(
+            lambda: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+        ),
+    }
+    out = {}
+    for name, f in cases.items():
+        jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        for _ in range(50):
+            r = f()
+        jax.block_until_ready(r)
+        out[name] = (time.perf_counter() - t0) / 50 * 1e3
+    return out
+
+
 def bench_pallas_chol(n: int = 512, batch: int = 8):
-    """Blocked Pallas Cholesky vs XLA at GP-buffer size: BOTH the batched
-    regime (what the dispatcher selects — vmapped over output dims / episode
-    lanes) and single-matrix (where XLA wins and the dispatcher keeps XLA)."""
+    """Blocked Pallas Cholesky vs XLA at GP-buffer size (NOT dispatched below
+    the VMEM limit — XLA wins at f32-accurate precision; reported for
+    transparency) in single and batched regimes."""
     from safe_exploration_tpu.ops.pallas import cholesky_blocked, on_tpu
 
     key = jax.random.PRNGKey(0)
@@ -323,6 +366,11 @@ def main():
         bench_pallas_chol,
         {"pallas": nan, "xla": nan, "pallas_batched": nan, "xla_batched": nan},
     )
+    gt = _safe(
+        bench_pallas_gram_trsm,
+        {"gram_pallas": nan, "gram_xla": nan, "trsm_pallas": nan,
+         "trsm_xla": nan},
+    )
     err_ff, err_f32 = _safe(bench_ff_chol, (nan, nan))
     ff_refit_ms = _safe(bench_ff_refit, nan)
 
@@ -347,6 +395,10 @@ def main():
         "xla_chol_ms_n512": round(chol_tier["xla"], 3),
         "pallas_chol_batched8_ms_n512": round(chol_tier["pallas_batched"], 3),
         "xla_chol_batched8_ms_n512": round(chol_tier["xla_batched"], 3),
+        "pallas_gram_ms_n512": round(gt["gram_pallas"], 3),
+        "xla_gram_ms_n512": round(gt["gram_xla"], 3),
+        "pallas_trsm_ms_n512": round(gt["trsm_pallas"], 3),
+        "xla_trsm_ms_n512": round(gt["trsm_xla"], 3),
         "ff_chol_rel_err_n256": float(f"{err_ff:.3e}"),
         "f32_chol_rel_err_n256": float(f"{err_f32:.3e}"),
         "ff_refit_ms_n128": round(ff_refit_ms, 2),
