@@ -162,6 +162,21 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
     return solves_per_sec, steady_feas
 
 
+def _best_of(f, rounds: int = 3, reps: int = 50) -> float:
+    """min-of-rounds mean latency (ms): sub-ms kernels over the host tunnel
+    jitter 2-3x run-to-run; the minimum round is the least-contended one."""
+    best = float("inf")
+    out = f()
+    jax.block_until_ready(out)
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+    return best
+
+
 def bench_gp_latency(n: int = 256, d: int = 3, e: int = 2):
     """Secondary metric: GP refit (Cholesky) + predict latency."""
     from safe_exploration_tpu.models import gp_init, gp_predict_jac, gp_refit
@@ -253,15 +268,7 @@ def bench_pallas_gram_trsm(n: int = 512, d: int = 3):
             lambda: jax.scipy.linalg.solve_triangular(l, eye, lower=True)
         ),
     }
-    out = {}
-    for name, f in cases.items():
-        jax.block_until_ready(f())
-        t0 = time.perf_counter()
-        for _ in range(50):
-            r = f()
-        jax.block_until_ready(r)
-        out[name] = (time.perf_counter() - t0) / 50 * 1e3
-    return out
+    return {name: _best_of(f) for name, f in cases.items()}
 
 
 def bench_pallas_chol(n: int = 512, batch: int = 8):
@@ -285,12 +292,7 @@ def bench_pallas_chol(n: int = 512, batch: int = 8):
         if name.startswith("pallas") and not on_tpu():
             results[name] = float("nan")
             continue
-        jax.block_until_ready(f(arg))
-        t0 = time.perf_counter()
-        for _ in range(50):
-            out = f(arg)
-        jax.block_until_ready(out)
-        results[name] = (time.perf_counter() - t0) / 50 * 1e3
+        results[name] = _best_of(lambda f=f, arg=arg: f(arg))
     return results
 
 
