@@ -130,3 +130,34 @@ def test_sqp_episodic_zero_violations(key):
     s = out["series"]
     assert sum(s["violations"]) == 0
     assert all(f > 0.5 for f in s["feasibility_rate"]), s["feasibility_rate"]
+
+
+def test_gn_matches_exact_hessian_solution(setup):
+    """The default Gauss-Newton curvature model must reach the exact-Hessian
+    path's solution quality on a well-conditioned instance: both feasible,
+    costs within 1e-3 relative, controls close."""
+    from safe_exploration_tpu.solvers.costs import tracking_cost
+    from safe_exploration_tpu.solvers.sqp import SqpConfig, solve_safempc_nlp
+
+    exp, ssm, key = setup
+    spec = exp["env"].spec
+    cost_fn = tracking_cost(spec.target)
+    x0 = jnp.asarray([0.1, 0.25], jnp.float64)
+    warm = jnp.zeros((4, 1), jnp.float64)
+    base = dict(n_safe=4, c_safety=2.0, n_outer=10, n_inner=3)
+
+    outs = {}
+    for mode in ("gn", "exact"):
+        cfg = SqpConfig(**base, hessian=mode)
+        k_ff, feas, viol, info = solve_safempc_nlp(
+            ssm, x0, warm, exp["k_fb"], exp["a"], exp["b"],
+            spec.u_min, spec.u_max,
+            spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+            cost_fn, cfg,
+        )
+        assert bool(feas), (mode, float(viol))
+        outs[mode] = (np.asarray(k_ff), float(info["cost"]))
+
+    c_gn, c_ex = outs["gn"][1], outs["exact"][1]
+    assert abs(c_gn - c_ex) / (abs(c_ex) + 1e-9) < 1e-3, (c_gn, c_ex)
+    np.testing.assert_allclose(outs["gn"][0], outs["exact"][0], atol=5e-3)
