@@ -189,19 +189,8 @@ def bench_gp_latency(n: int = 256, d: int = 3, e: int = 2):
     refit = jax.jit(gp_refit)
     predict = jax.jit(lambda g, z: gp_predict_jac(g, z))
     z = jnp.zeros((d,), dtype)
-    jax.block_until_ready(refit(gp))
-    jax.block_until_ready(predict(gp, z))
-    reps = 50
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        g2 = refit(gp)
-    jax.block_until_ready(g2)
-    chol_ms = (time.perf_counter() - t0) / reps * 1e3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = predict(gp, z)
-    jax.block_until_ready(out)
-    pred_ms = (time.perf_counter() - t0) / reps * 1e3
+    chol_ms = _best_of(lambda: refit(gp))
+    pred_ms = _best_of(lambda: predict(gp, z))
     return chol_ms, pred_ms
 
 
