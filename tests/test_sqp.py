@@ -161,3 +161,26 @@ def test_gn_matches_exact_hessian_solution(setup):
     c_gn, c_ex = outs["gn"][1], outs["exact"][1]
     assert abs(c_gn - c_ex) / (abs(c_ex) + 1e-9) < 1e-3, (c_gn, c_ex)
     np.testing.assert_allclose(outs["gn"][0], outs["exact"][0], atol=5e-3)
+
+
+def test_gn_handles_exploration_objective(setup):
+    """GN curvature with a non-convex (information-gain) objective: the
+    y-space Hessian can be indefinite; Levenberg damping must keep the
+    solve finite and feasible."""
+    from safe_exploration_tpu.solvers.costs import exploration_cost
+    from safe_exploration_tpu.solvers.sqp import SqpConfig, solve_safempc_nlp
+
+    exp, ssm, key = setup
+    spec = exp["env"].spec
+    cfg = SqpConfig(n_safe=4, c_safety=2.0, n_outer=8, n_inner=3)
+    k_ff, feas, viol, info = solve_safempc_nlp(
+        ssm, jnp.asarray([0.05, 0.1], jnp.float64),
+        jnp.zeros((4, 1), jnp.float64),
+        exp["k_fb"], exp["a"], exp["b"], spec.u_min, spec.u_max,
+        spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+        exploration_cost(), cfg,
+    )
+    assert bool(feas), float(viol)
+    assert np.isfinite(float(info["cost"]))
+    # information-seeking: better than doing nothing
+    assert float(info["cost"]) < 0.0
