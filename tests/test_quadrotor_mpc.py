@@ -85,3 +85,23 @@ def test_sqp_joint_perf_on_quadrotor(quad):
     )
     assert k_ff.shape == (3, 2)
     assert bool(feasible), float(violation)
+
+
+def test_registered_quadrotor_config_episodic_feasible():
+    """BASELINE cfg 5 as REGISTERED must be feasible through the full episodic
+    runner (estimated Lipschitz constants, hyperopt fit) — an 8-step tube was
+    infeasible outright (safe only via fallback) before the 5-step-tube +
+    12-step-perf revision."""
+    import dataclasses
+
+    from safe_exploration_tpu.runtime.config import CONFIGS
+    from safe_exploration_tpu.runtime.main import run_experiment
+
+    cfg = dataclasses.replace(
+        CONFIGS["quadrotor_episode"], n_ep=1, n_steps=6,
+        n_init_samples=30, n_max=64, cem_samples=96,
+    )
+    out = run_experiment(cfg, dtype=jnp.float64)
+    s = out["series"]
+    assert sum(s["violations"]) == 0
+    assert s["feasibility_rate"][0] >= 0.8, s["feasibility_rate"]
