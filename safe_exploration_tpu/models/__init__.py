@@ -12,6 +12,7 @@ from safe_exploration_tpu.models.gp import (
     gp_nll,
     gp_predict,
     gp_predict_batch,
+    gp_predict_full_cov,
     gp_predict_jac,
     gp_refit,
     gp_update_data,
@@ -26,16 +27,20 @@ from safe_exploration_tpu.models.ssm import (
     GPSSM,
     estimate_lipschitz,
     make_gp_ssm,
+    ssm_append_point,
     ssm_fit,
     ssm_predict,
+    ssm_predict_full_cov,
     ssm_predict_jac,
     ssm_update,
 )
 
 __all__ = [
     "GP", "gp_init", "gp_refit", "gp_update_data", "gp_append_point", "gp_nll",
-    "gp_fit", "gp_predict", "gp_predict_batch", "gp_predict_jac",
+    "gp_fit", "gp_predict", "gp_predict_batch", "gp_predict_full_cov",
+    "gp_predict_jac",
     "KERNELS", "gram", "init_kernel_params", "kernel_diag",
-    "GPSSM", "make_gp_ssm", "ssm_predict", "ssm_predict_jac", "ssm_update",
-    "ssm_fit", "estimate_lipschitz",
+    "GPSSM", "make_gp_ssm", "ssm_predict", "ssm_predict_full_cov",
+    "ssm_predict_jac", "ssm_update", "ssm_append_point", "ssm_fit",
+    "estimate_lipschitz",
 ]

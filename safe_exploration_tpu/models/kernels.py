@@ -31,6 +31,7 @@ __all__ = [
     "gram",
     "kernel_fn",
     "kernel_diag",
+    "weighted_mean_jac",
     "rbf_mean_gradient_lipschitz",
 ]
 
@@ -130,6 +131,58 @@ def kernel_diag(kern_type: str, params: dict, x: jax.Array) -> jax.Array:
         v = jnp.exp(2.0 * params["log_sv"])
         var = jnp.exp(2.0 * params["log_sf"])
         return var + jnp.sum(v * x * x, axis=-1)
+    raise ValueError(f"unknown kernel type: {kern_type}")
+
+
+def weighted_mean_jac(
+    kern_type: str,
+    params: dict,
+    z: jax.Array,
+    x: jax.Array,
+    kv: jax.Array,
+    c: jax.Array,
+) -> jax.Array:
+    """Closed-form input-gradient of a weighted kernel sum: d/dz sum_i c_i
+    k(z, x_i), given the already-computed row ``kv`` (n,) = k(z, X).
+
+    This is the posterior-mean Jacobian the reachability linearization needs
+    (SURVEY.md §2.4 step 4) written as ONE extra matvec per kernel term,
+    replacing the nested ``jacfwd`` over the posterior inside the SQP's own
+    forward-mode pass. The solver differentiates THROUGH this expression (its
+    derivative is the analytic GP-mean Hessian), so the traced graph per
+    Newton step shrinks from jacfwd-of-jacfwd to jacfwd-of-closed-form —
+    the "fusion of the per-stage posterior/Jacobian chain" (VERDICT r2 #2).
+
+    Per kernel (all ARD, log-space params; derivations in each branch):
+      rbf:    dk/dz = -k * (z - x_i) / ls^2
+      lin:    dk/dz = v * x_i
+      mat52:  dk/dz = -(5/3) sf^2 (1 + sqrt5 r) e^{-sqrt5 r} (z - x_i) / ls^2
+      composites: sum of the parts (component kv recomputed — the summed kv
+      cannot be split).
+    """
+    if kern_type == "rbf":
+        ls2 = jnp.exp(2.0 * params["log_lengthscales"])
+        w = kv * c
+        return (w @ x - jnp.sum(w) * z) / ls2
+    if kern_type == "lin":
+        v = jnp.exp(2.0 * params["log_sv"])
+        return v * (c @ x)
+    if kern_type == "mat52":
+        ls = jnp.exp(params["log_lengthscales"])
+        ls2 = ls * ls
+        var = jnp.exp(2.0 * params["log_sf"])
+        diff = z[None, :] - x                        # (n, d)
+        r = jnp.sqrt(jnp.sum((diff / ls) ** 2, axis=-1) + 1e-30)
+        s5 = jnp.sqrt(5.0).astype(r.dtype)
+        g = (5.0 / 3.0) * var * (1.0 + s5 * r) * jnp.exp(-s5 * r)
+        w = c * g
+        return (w @ x - jnp.sum(w) * z) / ls2
+    if kern_type in ("lin_rbf", "lin_mat52"):
+        part = "rbf" if kern_type == "lin_rbf" else "mat52"
+        kv_part = KERNELS[part](params, z[None, :], x)[0]
+        return weighted_mean_jac("lin", params, z, x, kv_part, c) + (
+            weighted_mean_jac(part, params, z, x, kv_part, c)
+        )
     raise ValueError(f"unknown kernel type: {kern_type}")
 
 

@@ -235,9 +235,17 @@ def mc_fit(
     concrete-dropout regularizer (weight term scaled by 1/p, plus the
     negative Bernoulli entropy that pulls p away from certainty).
     """
-    opt = optax.adamw(lr, weight_decay=weight_decay)
     n_max = ssm.x.shape[0]
     concrete = ssm.keep_logit is not None
+    # Concrete variant: plain Adam — the explicit concrete-dropout regularizer
+    # already carries the ||W||^2/p weight penalty, and adamw's decoupled decay
+    # would (a) L2-regularize the weights a second time and (b) pull keep_logit
+    # toward 0 (p toward 0.5) independently of the entropy term (ADVICE r2 #5).
+    # Plain variant: adamw's decay IS the dropout-as-Bayes KL weight term
+    # (keep_logit is None there, so no spurious decay target exists).
+    opt = optax.adam(lr) if concrete else optax.adamw(
+        lr, weight_decay=weight_decay
+    )
     n_eff = jnp.maximum(jnp.sum(ssm.mask), 1.0)
 
     def loss(theta, step_key):

@@ -21,8 +21,9 @@ from safe_exploration_tpu.models import gp as gp_mod
 from safe_exploration_tpu.models.gp import GP
 from safe_exploration_tpu.models.kernels import init_kernel_params
 
-__all__ = ["GPSSM", "ssm_predict", "ssm_predict_jac", "ssm_update", "ssm_fit",
-           "ssm_probe_points", "make_gp_ssm"]
+__all__ = ["GPSSM", "ssm_predict", "ssm_predict_full_cov", "ssm_predict_jac",
+           "ssm_update", "ssm_append_point", "ssm_fit", "ssm_probe_points",
+           "make_gp_ssm"]
 
 
 @struct.dataclass
@@ -91,13 +92,21 @@ def make_gp_ssm(
     log_noise: float = -2.3,
     z_scale: jax.Array | None = None,
     precision: str = "f32",
+    m_subset: int | None = None,
 ) -> GPSSM:
     """Build a GP-SSM from initial transition data (x_t, u_t) -> residual y_t.
 
     ``z_scale`` (optional, ``[norm_x, norm_u]``) trains the GP on normalized
     inputs — lengthscales come out O(1) regardless of per-dimension state
     scales (reference behavior, SURVEY.md §2.7).
+
+    ``m_subset`` (optional) keeps only an even subsample of m initial points —
+    the reference's subset-of-data selection ``SimpleGPModel.train(X, y, m)``
+    (SURVEY.md §2.3): a cheap dense-GP budget control below the sparse tier.
     """
+    if m_subset is not None and 0 < m_subset < x.shape[0]:
+        idx = jnp.linspace(0, x.shape[0] - 1, m_subset).astype(jnp.int32)
+        x, u, y = x[idx], u[idx], y[idx]
     z = jnp.concatenate([x, u], axis=-1)
     params = None
     if z_scale is not None:
@@ -121,22 +130,68 @@ def ssm_predict(ssm, x: jax.Array, u: jax.Array):
     return ssm.predict_latent(z)
 
 
+def ssm_predict_full_cov(ssm, x: jax.Array, u: jax.Array):
+    """Joint residual posterior over a BATCH of (state, action) pairs with the
+    full cross-point covariance: x (k, n_s), u (k, n_u) ->
+    (mean (k, n_s), cov (n_s, k, k)).
+
+    Parity: the ``full_cov=True`` branch of ``StateSpaceModel.predict``
+    (SURVEY.md §2.3; VERDICT r2 missing #5). Supported by the GP families
+    (exact + sparse); the MC-dropout family has no analytic cross-covariance.
+    """
+    z = jnp.concatenate([x, u], axis=-1)
+    if isinstance(ssm, GPSSM):
+        if ssm.z_scale is not None:
+            z = z / ssm.z_scale
+        return gp_mod.gp_predict_full_cov(ssm.gp, z)
+    from safe_exploration_tpu.models import sparse_gp
+
+    if isinstance(ssm, sparse_gp.SparseGPSSM):
+        if ssm.z_scale is not None:
+            z = z / ssm.z_scale
+        return sparse_gp.sparse_gp_predict_full_cov(ssm.sgp, z)
+    raise TypeError(
+        f"full_cov prediction is a GP-family feature; {type(ssm).__name__} "
+        "has no analytic cross-point covariance"
+    )
+
+
 def ssm_predict_jac(ssm, x: jax.Array, u: jax.Array):
     """Prediction + Jacobians split over state and control.
 
     Returns (mu, var, jac_mu_x (n_s, n_s), jac_mu_u (n_s, n_u)).
     Parity: ``StateSpaceModel.predict(..., jacobians=True)`` (SURVEY.md §2.3);
     the reachability linearization consumes the mean Jacobians (SURVEY.md §2.4).
-    One ``jacfwd`` over the protocol's predict replaces GPy's handwritten
-    gradient formulas AND torch autograd (SURVEY.md §3.4).
+
+    For the GP families the Jacobian is the CLOSED FORM
+    (kernels.weighted_mean_jac, one extra matvec per output dim) rather than a
+    nested ``jacfwd``: this function sits inside the SQP's own forward-mode
+    differentiation per stage per Newton iteration, and flattening
+    jacfwd-of-jacfwd into jacfwd-of-closed-form shrinks the traced hot-loop
+    graph (VERDICT r2 #2; equivalence pinned in tests/test_gp.py). Other SSM
+    families fall back to one ``jacfwd`` over the protocol's predict — still
+    replacing GPy's handwritten gradients AND torch autograd (SURVEY.md §3.4).
     """
     n_s = x.shape[-1]
     z = jnp.concatenate([x, u], axis=-1)
 
-    # one fused pass: jacfwd's primal computation is tangent-independent, so
-    # value and Jacobian share a single posterior evaluation (has_aux returns
-    # the primal) — the reachability hot path calls this per stage per Newton
-    # iteration, so the duplicate forward eval was pure waste.
+    if isinstance(ssm, GPSSM):
+        zz = z if ssm.z_scale is None else z / ssm.z_scale
+        mu, var, jac = gp_mod.gp_predict_mean_jac(ssm.gp, zz)
+        if ssm.z_scale is not None:
+            jac = jac / ssm.z_scale  # chain rule of the input normalization
+        return mu, var, jac[:, :n_s], jac[:, n_s:]
+    from safe_exploration_tpu.models import sparse_gp
+
+    if isinstance(ssm, sparse_gp.SparseGPSSM):
+        zz = z if ssm.z_scale is None else z / ssm.z_scale
+        mu, var, jac = sparse_gp.sparse_gp_predict_mean_jac(ssm.sgp, zz)
+        if ssm.z_scale is not None:
+            jac = jac / ssm.z_scale
+        return mu, var, jac[:, :n_s], jac[:, n_s:]
+
+    # generic fallback: one fused jacfwd pass (value + Jacobian share the
+    # primal posterior evaluation via has_aux)
     def mean_with_aux(zz):
         mu_, var_ = ssm.predict_latent(zz)
         return mu_, (mu_, var_)
@@ -187,6 +242,26 @@ def ssm_update(
     if isinstance(ssm, nn_ssm.McDropoutSSM):
         return nn_ssm.mc_update_data(ssm, x, u, y)
     raise TypeError(f"unknown SSM family: {type(ssm)}")
+
+
+def ssm_append_point(ssm, x: jax.Array, u: jax.Array, y: jax.Array):
+    """O(n^2) incremental append of ONE transition (the per-step online-learning
+    path of the batched episode lanes, runtime/batch.py).
+
+    Owns the z_scale handling: the GP buffer stores NORMALIZED inputs (see
+    GPSSM.z_scale), so the raw (x, u) must be scaled before the bordered
+    Cholesky append — appending raw coordinates corrupts the posterior the
+    safety tube relies on (ADVICE r2 high). Mirrors :func:`ssm_update`.
+    """
+    if not isinstance(ssm, GPSSM):
+        raise TypeError(
+            "incremental appends are an exact-GP feature; use ssm_update for "
+            f"{type(ssm).__name__}"
+        )
+    z = jnp.concatenate([x, u], axis=-1)
+    if ssm.z_scale is not None:
+        z = z / ssm.z_scale
+    return ssm.replace(gp=gp_mod.gp_append_point(ssm.gp, z, y))
 
 
 def ssm_fit(ssm, *, iters: int = 200, lr: float = 5e-2,
@@ -267,13 +342,20 @@ def lipschitz_probe_set(
 
 
 def calibrate_lipschitz(
-    ssm, spec, key: jax.Array | None = None, *, n_region: int = 64,
+    ssm, spec, key: jax.Array | None = None, *, n_region: int | None = None,
     factor: float = 1.2,
 ):
     """Standard calibration used by the runners: estimate l_mu / l_sigma over
     the training buffer PLUS a sample of the whole operating region (safe
     polytope x control box) — the bound must hold between/beyond data, where
     the tube actually relies on it.
+
+    ``n_region`` defaults to ``128 * d_in`` (d_in = n_s + n_u): a FIXED 64
+    probes samples a 6D-quadrotor operating region (d_in = 8) far too sparsely
+    for the max-over-probes estimate to cover it (ADVICE r2 low #3) — the
+    probe budget must grow with the dimension it is covering. Calibration runs
+    once per episode outside the hot loop, so the extra hessian evals are
+    cheap.
 
     ``factor`` defaults to 1.2 here (vs estimate_lipschitz's 2.0): the max is
     already taken over a probe set COVERING the region, so the factor only
@@ -284,6 +366,8 @@ def calibrate_lipschitz(
     sparse-probe factor 2.0 ON TOP of region coverage turns marginal horizons
     infeasible outright."""
     probes = ssm_probe_points(ssm)
+    if n_region is None:
+        n_region = 128 * probes.shape[-1]
     region = lipschitz_probe_set(
         spec, jax.random.PRNGKey(0) if key is None else key, n_region
     ).astype(probes.dtype)

@@ -20,9 +20,10 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from safe_exploration_tpu.envs.base import Env, env_step
-from safe_exploration_tpu.models.gp import gp_append_point
-from safe_exploration_tpu.models.ssm import GPSSM
+from safe_exploration_tpu.models.ssm import GPSSM, ssm_append_point, ssm_predict
 from safe_exploration_tpu.parallel.mesh import EPISODE_AXIS
 
 __all__ = ["stack_ssm", "run_batched_episodes"]
@@ -56,9 +57,24 @@ def run_batched_episodes(
       mesh: optional Mesh — lane axis is sharded over it (SPMD).
 
     Returns (traj, ssm_batch_final) where traj is a dict of (batch, n_steps, ...)
-    series: x, u, resid, feasible, violation, constraint_ok.
+    series: x, u, resid, model_err, feasible, violation, constraint_ok.
+
+    Raises ValueError host-side if any lane's GP buffer could overflow during
+    the run: gp_append_point saturates (drops points) on a full buffer rather
+    than corrupting factors, and a schedule that would hit that silently stops
+    learning — parity with ``SimpleGPModel.update_model``'s explicit error
+    (SURVEY.md §2.3; VERDICT r2 weak #3).
     """
     spec = env.spec
+    # host-side overflow guard: mask/n_max are concrete here (pre-jit)
+    n_max = ssm_batch.gp.x.shape[-2]
+    n_used = int(np.max(jax.device_get(jnp.sum(ssm_batch.gp.mask, axis=-1))))
+    if n_used + n_steps > n_max:
+        raise ValueError(
+            f"batched episode would overflow the GP buffer: {n_used} points + "
+            f"{n_steps} appends > n_max={n_max}; raise the config's n_max or "
+            "shorten the episode"
+        )
 
     def one_lane(key, ssm: GPSSM, x0: jax.Array):
         mstate = init_state()
@@ -70,12 +86,16 @@ def run_batched_episodes(
             u, ms, info = get_action(k_plan, ms, s, x)
             u_app, x_next = env_step(env, k_step, x, u)
             resid = x_next - (a @ x + b @ u_app)
-            z = jnp.concatenate([x, u_app])
+            # model error = |residual - predicted residual| with the model
+            # that planned this step (prediction BEFORE the append below)
+            mu_pred, _ = ssm_predict(s, x, u_app)
             # O(n^2) bordered-Cholesky append: the lane's model learns online
-            s = s.replace(gp=gp_append_point(s.gp, z, resid))
+            # (ssm_append_point owns the z_scale normalization)
+            s = ssm_append_point(s, x, u_app, resid)
             ok = jnp.all(spec.h_mat_obs @ x_next - spec.h_obs <= 0.0)
             out = {
                 "x": x, "u": u_app, "resid": resid,
+                "model_err": jnp.linalg.norm(resid - mu_pred),
                 "feasible": info["feasible"], "violation": info["violation"],
                 "constraint_ok": ok,
             }

@@ -138,7 +138,7 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
         out = {"series": {
             "violations": [int((~traj["constraint_ok"]).sum())],
             "feasibility_rate": [float(traj["feasible"].mean())],
-            "model_error": [float(jnp.mean(jnp.abs(traj["resid"])))],
+            "model_error": [float(jnp.mean(traj["model_err"]))],
             "lanes": [lanes],
             "steps_per_sec": [total_steps / roll_s],
         }}

@@ -105,3 +105,61 @@ def test_incremental_factors_match_full_refit(setup):
         gp_full = gp_refit(gp_lane)
         np.testing.assert_allclose(gp_lane.chol, gp_full.chol, atol=1e-9)
         np.testing.assert_allclose(gp_lane.beta, gp_full.beta, atol=1e-8)
+
+
+def test_overflow_schedule_rejected(setup):
+    """VERDICT r2 weak #3: a schedule whose appends would overflow the GP
+    buffer must be rejected host-side, not silently saturate mid-episode."""
+    exp, ssm = setup
+    batch = 2
+    x0s = jnp.asarray([[0.05, 0.0], [0.0, 0.05]], jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(5), batch)
+    n_free = 64 - 16
+    with pytest.raises(ValueError, match="overflow"):
+        run_batched_episodes(
+            exp["env"], exp["get_action"], exp["init_state"],
+            stack_ssm(ssm, batch), x0s, keys, n_free + 1, exp["a"], exp["b"],
+        )
+
+
+def test_online_appends_respect_input_normalization():
+    """ADVICE r2 high: with normalize_inputs=True (the config default) the GP
+    buffer stores NORMALIZED inputs; per-step online appends must store
+    z / z_scale — raw-coordinate appends corrupt the posterior."""
+    cfg = ExperimentConfig(
+        name="batch_norm_t", solver="cem", n_safe=3, n_max=64,
+        cem_samples=32, cem_elites=8, cem_iterations=3,
+        normalize_inputs=True,
+    )
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    env, a, b = exp["env"], exp["a"], exp["b"]
+    key = jax.random.PRNGKey(0)
+    xs = (
+        jax.random.uniform(key, (12, 2), jnp.float64, -1.0, 1.0)
+        * jnp.asarray([0.2, 0.5], jnp.float64)
+    )
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (12, 1), jnp.float64, -1, 1)
+    _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+    ssm = exp["make_ssm"](key, xs, us, resid)
+    assert ssm.z_scale is not None
+    batch, n_steps = 2, 3
+    x0s = jnp.asarray([[0.05, 0.0], [0.0, 0.05]], jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(5), batch)
+    traj, ssm_fin = run_batched_episodes(
+        env, exp["get_action"], exp["init_state"],
+        stack_ssm(ssm, batch), x0s, keys, n_steps, a, b,
+    )
+    # the appended rows must be the NORMALIZED (x, u) of the executed steps
+    for lane in range(batch):
+        z_raw = jnp.concatenate(
+            [traj["x"][lane], traj["u"][lane]], axis=-1
+        )
+        stored = ssm_fin.gp.x[lane, 12:12 + n_steps]
+        np.testing.assert_allclose(
+            np.asarray(stored), np.asarray(z_raw / ssm.z_scale), atol=1e-12
+        )
+    # and the lane factors remain consistent with a from-scratch refit
+    gp_lane = jax.tree.map(lambda x: x[0], ssm_fin.gp)
+    gp_full = gp_refit(gp_lane)
+    np.testing.assert_allclose(gp_lane.beta, gp_full.beta, atol=1e-8)

@@ -125,3 +125,93 @@ def test_rollout_episode_is_jittable_and_deterministic(key):
     t1, _, _ = ro(key, exp["init_state"](), ssm, x0)
     t2, _, _ = ro(key, exp["init_state"](), ssm, x0)
     np.testing.assert_array_equal(np.asarray(t1["x"]), np.asarray(t2["x"]))
+
+
+def test_feasibility_tolerance_unified_across_planners():
+    """VERDICT r2 weak #5: CEM and SQP must apply the SAME feasibility
+    standard (IPOPT constr_viol_tol semantics). Defaults are equal, the
+    experiment config carries one knob for both, and the CEM gate actually
+    uses it (a tube infeasible at the old hard-coded 1e-6 but within feas_tol
+    classifies as feasible)."""
+    from safe_exploration_tpu.solvers import CemConfig
+    from safe_exploration_tpu.solvers.sqp import SqpConfig
+
+    assert CemConfig().feas_tol == SqpConfig().feas_tol == 1e-4
+    cfg = ExperimentConfig(name="tol_t", feas_tol=3e-3)
+    assert cfg.feas_tol == 3e-3
+
+    # functional: with an absurdly loose gate, even an impossible polytope
+    # classifies feasible -> the flag is derived from cfg.feas_tol, not a
+    # hard-coded constant
+    exp = build_experiment(small_cfg(), dtype=jnp.float64)
+    ssm = build_ssm(exp, jax.random.PRNGKey(11))
+    from safe_exploration_tpu.solvers import CemConfig as CC, cem_plan, tracking_cost
+
+    spec = exp["env"].spec
+    h_obs_tiny = 1e-6 * jnp.ones_like(spec.h_obs)
+    loose = CC(n_safe=4, n_samples=32, n_elites=8, n_iterations=2,
+               feas_tol=1e9)
+    strict = loose._replace(feas_tol=0.0)
+    x0 = jnp.asarray([0.05, 0.0], jnp.float64)
+    cost_fn = tracking_cost(spec.target)
+    args = (jax.random.PRNGKey(0), ssm, x0, exp["k_fb"], exp["a"], exp["b"],
+            spec.u_min, spec.u_max, spec.h_mat_obs, h_obs_tiny,
+            spec.h_mat_safe, spec.h_safe, 2.0, cost_fn)
+    _, feas_loose, viol, _ = cem_plan(*args, loose)
+    _, feas_strict, _, _ = cem_plan(*args, strict)
+    assert float(viol) > 1e-4          # genuinely violated tube
+    assert bool(feas_loose)            # loose gate accepts it
+    assert not bool(feas_strict)       # strict gate rejects it
+
+
+def test_model_error_metric_tracks_learning(key):
+    """VERDICT r2 weak #4: the episodic 'model_error' metric must be the GP
+    PREDICTION error |resid - mu(z)| (capable of decreasing as the model
+    learns), not the raw residual magnitude (which never can)."""
+    cfg = small_cfg(n_ep=3, n_steps=10)
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    out = run_episodic(
+        exp["env"], exp["init_state"], exp["get_action"],
+        exp["a"], exp["b"], exp["k_fb"],
+        key=key, kern_types=exp["kern_types"], n_max=cfg.n_max,
+        l_mu=exp["l_mu"], l_sigma=exp["l_sigma"],
+        n_ep=cfg.n_ep, n_steps=cfg.n_steps,
+        n_init_samples=8,  # start data-poor so learning is visible
+        hyp_iters=cfg.hyp_iters,
+    )
+    me = out["series"]["model_error"]
+    # the model improves with data: later episodes beat the data-poor first
+    assert min(me[1:]) < me[0], me
+
+
+def test_ssm_full_cov_consistent_with_pointwise(key):
+    from safe_exploration_tpu.models import ssm_predict, ssm_predict_full_cov
+
+    exp = build_experiment(small_cfg(), dtype=jnp.float64)
+    ssm = build_ssm(exp, key)
+    xq = jnp.asarray([[0.05, 0.0], [0.0, 0.1], [-0.05, 0.05]], jnp.float64)
+    uq = jnp.asarray([[0.1], [0.0], [-0.1]], jnp.float64)
+    mean_f, cov_f = ssm_predict_full_cov(ssm, xq, uq)
+    for i in range(3):
+        m, v = ssm_predict(ssm, xq[i], uq[i])
+        np.testing.assert_allclose(np.asarray(mean_f[i]), np.asarray(m), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(cov_f[:, i, i]), np.asarray(v), rtol=1e-7,
+        )
+
+
+def test_append_point_rejects_non_gp_families():
+    from safe_exploration_tpu.models import ssm_append_point
+    from safe_exploration_tpu.models.nn_ssm import make_mc_dropout_ssm
+
+    key = jax.random.PRNGKey(0)
+    xs = jnp.zeros((4, 2))
+    us = jnp.zeros((4, 1))
+    ys = jnp.zeros((4, 2))
+    mc = make_mc_dropout_ssm(
+        key, xs, us, ys, n_max=8,
+        l_mu=jnp.full((2,), 0.1), l_sigma=jnp.full((2,), 0.1),
+        hidden=(8,), n_samples=2,
+    )
+    with pytest.raises(TypeError, match="exact-GP"):
+        ssm_append_point(mc, xs[0], us[0], ys[0])
