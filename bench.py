@@ -71,8 +71,14 @@ def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype):
     )
     warm = jnp.zeros((batch, n_safe, 1), dtype)
 
+    # the planner consumes the bucketed view (exactly what run_episodic hands
+    # it): posterior contractions sized to the 64 active points, not the
+    # padded 128-row capacity
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+
+    ssm_plan = ssm_bucketed(ssm)
     solve = jax.jit(jax.vmap(
-        lambda x, w: exp["planner"](jax.random.PRNGKey(0), ssm, x, w)
+        lambda x, w: exp["planner"](jax.random.PRNGKey(0), ssm_plan, x, w)
     ))
     return solve, ssm, x0s, warm
 
@@ -124,10 +130,14 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
     )
     env, get_action, init_state = exp["env"], exp["get_action"], exp["init_state"]
 
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+
+    ssm_plan = ssm_bucketed(ssm)
+
     def rollout(x0, keys):
         def step(carry, key):
             state, x = carry
-            u, state, info = get_action(key, state, ssm, x)
+            u, state, info = get_action(key, state, ssm_plan, x)
             _, x1 = env_step(env, key, x, u)
             return (state, x1), info["feasible"]
 
@@ -285,6 +295,31 @@ def bench_pallas_chol(n: int = 512, batch: int = 8):
     return results
 
 
+def bench_pallas_chol_hbm(sizes=(2048, 4096)):
+    """HBM-tier dense Cholesky: the Pallas left-looking block-column kernel
+    (ops/pallas/cholesky_hbm, dispatched by gp_refit above n=1024) vs XLA's
+    lowering — the BASELINE north star's 'blocked Pallas Cholesky' at the
+    sizes the dispatcher actually routes to it (VERDICT r2 next #1a: BENCH_r02
+    had no driver-visible number for this tier at all)."""
+    from safe_exploration_tpu.ops.pallas import cholesky_hbm, on_tpu
+
+    out = {}
+    for n in sizes:
+        if not on_tpu():
+            out[f"pallas_chol_hbm_ms_n{n}"] = float("nan")
+            out[f"xla_chol_ms_n{n}"] = float("nan")
+            continue
+        key = jax.random.PRNGKey(0)
+        mmat = jax.random.normal(key, (n, n), jnp.float32)
+        a = mmat @ mmat.T + n * jnp.eye(n, dtype=jnp.float32)
+        reps = max(3, 2048 // n * 8)
+        p_ms = _best_of(jax.jit(lambda a=a: cholesky_hbm(a)), reps=reps)
+        x_ms = _best_of(jax.jit(lambda a=a: jnp.linalg.cholesky(a)), reps=reps)
+        out[f"pallas_chol_hbm_ms_n{n}"] = round(p_ms, 3)
+        out[f"xla_chol_ms_n{n}"] = round(x_ms, 3)
+    return out
+
+
 def bench_ff_refit(n: int = 128, d: int = 3, e: int = 2):
     """precision="ff" GP refit latency (the fp64-equivalent mode, VERDICT r1
     item 7 — now a usable config knob, not just evidence)."""
@@ -364,6 +399,7 @@ def main():
         {"gram_pallas": nan, "gram_xla": nan, "trsm_pallas": nan,
          "trsm_xla": nan},
     )
+    hbm = _safe(bench_pallas_chol_hbm, {})
     err_ff, err_f32 = _safe(bench_ff_chol, (nan, nan))
     ff_refit_ms = _safe(bench_ff_refit, nan)
 
@@ -392,6 +428,7 @@ def main():
         "xla_gram_ms_n512": round(gt["gram_xla"], 3),
         "pallas_trsm_ms_n512": round(gt["trsm_pallas"], 3),
         "xla_trsm_ms_n512": round(gt["trsm_xla"], 3),
+        **hbm,
         "ff_chol_rel_err_n256": float(f"{err_ff:.3e}"),
         "f32_chol_rel_err_n256": float(f"{err_f32:.3e}"),
         "ff_refit_ms_n128": round(ff_refit_ms, 2),

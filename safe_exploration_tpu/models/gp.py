@@ -411,6 +411,45 @@ def gp_append_point(gp: GP, x_new: jax.Array, y_new: jax.Array) -> GP:
     )
 
 
+def gp_shrink_to_bucket(gp: GP, *, min_bucket: int = 32) -> GP:
+    """Slice the padded buffer down to the smallest power-of-2 bucket holding
+    the active points (host-side, between jit regions).
+
+    The solver's per-predict cost is O(n_max) for the mean and O(n_max^2) for
+    the variance quadratic form REGARDLESS of how many points are real — the
+    padding is identity rows. The TPU profile of the batched SQP shows those
+    contractions as the dominant cost, so a buffer sized 128 with 64 active
+    points pays 2-4x on every posterior evaluation inside the solve. Shape
+    bucketing (the standard TPU serving trick for dynamic sizes) recovers it:
+    runners hand the PLANNER a bucketed view and keep appending into the
+    full buffer. Factors are sliced, not recomputed — with identity padding
+    every factor is block-diagonal across the active/padding boundary, so the
+    sliced factors ARE the factors of the sliced problem (pinned by test).
+
+    Requires append-only layout (no ring wrap): active rows are a prefix.
+    """
+    n_pts = int(jax.device_get(gp.n_points))
+    n_bucket = min_bucket
+    while n_bucket < n_pts:
+        n_bucket *= 2
+    n_bucket = min(n_bucket, gp.n_max)
+    if n_bucket >= gp.n_max:
+        return gp
+    # verify prefix layout host-side (ring wrap would scatter active rows)
+    mask_prefix = jax.device_get(gp.mask[:n_pts])
+    if float(mask_prefix.min(initial=1.0)) < 1.0:
+        return gp  # non-prefix layout: bucketing unavailable, keep full
+    return gp.replace(
+        x=gp.x[:n_bucket],
+        y=gp.y[:n_bucket],
+        mask=gp.mask[:n_bucket],
+        chol=gp.chol[:, :n_bucket, :n_bucket],
+        beta=gp.beta[:, :n_bucket],
+        kinv=gp.kinv[:, :n_bucket, :n_bucket],
+        head=jnp.minimum(gp.head, n_bucket),
+    )
+
+
 def gp_nll(params: tuple, log_noise: jax.Array, gp: GP) -> jax.Array:
     """Negative log marginal likelihood, summed over output dims.
 

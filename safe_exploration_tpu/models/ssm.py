@@ -264,6 +264,22 @@ def ssm_append_point(ssm, x: jax.Array, u: jax.Array, y: jax.Array):
     return ssm.replace(gp=gp_mod.gp_append_point(ssm.gp, z, y))
 
 
+def ssm_bucketed(ssm):
+    """Bucketed view of a GP-SSM for the PLANNER's hot loop (host-side).
+
+    Slices the padded buffer to the smallest power-of-2 bucket covering the
+    active points (models/gp.gp_shrink_to_bucket) — every posterior
+    evaluation inside the solver then contracts over the bucket, not the full
+    padded capacity. Runners keep appending into the FULL model and re-derive
+    the view per episode; crossing a bucket boundary recompiles once
+    (standard TPU shape bucketing — O(log n_max) compiles over a whole run).
+    Non-GP families pass through unchanged.
+    """
+    if isinstance(ssm, GPSSM):
+        return ssm.replace(gp=gp_mod.gp_shrink_to_bucket(ssm.gp))
+    return ssm
+
+
 def ssm_fit(ssm, *, iters: int = 200, lr: float = 5e-2,
             key: jax.Array | None = None):
     """Re-optimize model hyperparameters/weights (the per-episode

@@ -208,11 +208,16 @@ def run_episodic(
         start_ep = int(restored["episode"]) + 1
         series = {k: list(v) for k, v in restored["series"].items()}
 
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+
     for ep in range(start_ep, n_ep):
         k_reset, k_roll, key = jax.random.split(key, 3)
         x0 = env_reset(env, k_reset)
         t0 = time.perf_counter()
-        traj, _, _ = rollout(k_roll, init_state(), ssm, x0)
+        # the planner runs on a BUCKETED view (posterior contractions sized to
+        # the active points, not the padded capacity — models/gp
+        # gp_shrink_to_bucket); appends/refits below stay on the full buffer
+        traj, _, _ = rollout(k_roll, init_state(), ssm_bucketed(ssm), x0)
         traj = jax.tree.map(lambda x: jax.device_get(x), traj)
         dt_ep = time.perf_counter() - t0
 

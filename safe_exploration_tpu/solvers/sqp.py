@@ -85,6 +85,73 @@ class SqpConfig(NamedTuple):
     # map's own second derivative is dropped) — measured ~2.5x faster than
     # "exact" (jax.hessian of the AL) at equal convergence on TPU v5e.
     hessian: str = "gn"
+    # Line-search model (GN path only): "linearized" scores the backtracking
+    # candidates on the LINEARIZED rollout y + Jy (u' - u) — the Jacobian the
+    # step just computed — instead of re-rolling the tube per candidate
+    # (3 full rollouts per Newton step under "exact"). Measured on TPU v5e
+    # (batch 512, 10x3 budget): +11% throughput (4713 vs 4248 solves/s) but
+    # cold-start feasibility drops 0.875 -> 0.836 — the linearized acceptance
+    # misjudges steps near active-set switches. Default stays "exact"; the
+    # knob exists for throughput-over-convergence deployments.
+    linesearch: str = "exact"  # "exact" | "linearized"
+
+
+def _solve_spd_unrolled(h: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve the tiny SPD Newton system h d = rhs by a fully UNROLLED
+    Cholesky + two substitutions (n_var <= ~20 scalars).
+
+    The TPU profile of the batched solver showed `jnp.linalg.cholesky` +
+    triangular solves lowering to LAPACK-style custom-calls that cost ~13% of
+    total solve time at n_var = 5 (two per Newton step, x30 per solve) —
+    kernel-launch floor, not FLOPs. Unrolling emits pure vectorized scalar
+    arithmetic that XLA fuses into the surrounding step; each "scalar" is a
+    (batch,)-vector under vmap. Breakdown (h not SPD) surfaces as NaN in d,
+    exactly like the custom-call path, and is handled by the caller's
+    fallback.
+    """
+    n = h.shape[-1]
+    # Cholesky: column-by-column, fully unrolled (static n)
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = h[j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        l[j][j] = jnp.sqrt(s)
+        inv_d = 1.0 / l[j][j]
+        for i in range(j + 1, n):
+            s = h[i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * inv_d
+    # forward substitution L y = rhs
+    y = [None] * n
+    for i in range(n):
+        s = rhs[i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    # back substitution L^T d = y
+    d = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * d[k]
+        d[i] = s / l[i][i]
+    return jnp.stack(d)
+
+
+# above this size the O(n^3) unrolled-graph size outweighs the custom-call
+# launch overhead it avoids; measured crossover is well past any SafeMPC
+# decision vector (n_var = warm_len * n_u + optional dK block)
+_UNROLL_SOLVE_MAX_N = 24
+
+
+def _newton_solve(h: jax.Array, rhs: jax.Array) -> jax.Array:
+    if h.shape[-1] <= _UNROLL_SOLVE_MAX_N:
+        return _solve_spd_unrolled(h, rhs)
+    l = jnp.linalg.cholesky(h)
+    y = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
 
 
 def _build_constraint_fn(
@@ -278,16 +345,13 @@ def solve_al_nlp(
             damp = cfg.newton_damping * diag_scale
             eye = jnp.eye(n_var, dtype=dtype)
 
-            def try_solve(rho):
-                l = jnp.linalg.cholesky(0.5 * (h + h.T) + rho * eye)
-                y = jax.scipy.linalg.solve_triangular(l, -g, lower=True)
-                d = jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
-                return d, jnp.all(jnp.isfinite(d))
-
-            d0, ok0 = try_solve(damp)
+            # unrolled tiny-SPD solves (see _solve_spd_unrolled): fused
+            # vector arithmetic instead of two LAPACK-style custom-calls
+            hs = 0.5 * (h + h.T)
+            d0 = _newton_solve(hs + damp * eye, -g)
             # fall back to a strongly-damped (gradient-like) step if Cholesky failed
-            d1, _ = try_solve(diag_scale)
-            d = jnp.where(ok0, d0, d1)
+            d1 = _newton_solve(hs + diag_scale * eye, -g)
+            d = jnp.where(jnp.all(jnp.isfinite(d0)), d0, d1)
 
             # fixed backtracking line search with projection onto the box
             alphas = 0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype)
@@ -330,9 +394,7 @@ def solve_al_nlp(
             jac = jax.jacfwd(constraints)(u)           # (n_con, n_var)
             jtv = jac.T @ v
             jtj = jac.T @ (jac * (g > 0.0)[:, None])
-            d = jnp.linalg.solve(
-                jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv
-            )
+            d = _newton_solve(jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv)
             u_new = jnp.clip(u + d, lo, hi)
             better = jnp.sum(jnp.maximum(constraints(u_new), 0.0)) < jnp.sum(v)
             return jnp.where(better, u_new, u), None
@@ -410,19 +472,24 @@ def solve_al_nlp_gn(
         damp = cfg.newton_damping * diag_scale
         eye = jnp.eye(n_var, dtype=dtype)
 
-        def try_solve(rho):
-            l = jnp.linalg.cholesky(0.5 * (h + h.T) + rho * eye)
-            yv = jax.scipy.linalg.solve_triangular(l, -grad, lower=True)
-            d = jax.scipy.linalg.solve_triangular(l.T, yv, lower=False)
-            return d, jnp.all(jnp.isfinite(d))
-
-        d0, ok0 = try_solve(damp)
-        d1, _ = try_solve(diag_scale)
-        d = jnp.where(ok0, d0, d1)
+        # unrolled tiny-SPD solves (see _solve_spd_unrolled): fused vector
+        # arithmetic instead of two LAPACK-style custom-calls (~13% of the
+        # batched solve in the TPU profile)
+        hs = 0.5 * (h + h.T)
+        d0 = _newton_solve(hs + damp * eye, -grad)
+        d1 = _newton_solve(hs + diag_scale * eye, -grad)
+        d = jnp.where(jnp.all(jnp.isfinite(d0)), d0, d1)
 
         alphas = 0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype)
         cands = jax.vmap(lambda al_: jnp.clip(u + al_ * d, lo, hi))(alphas)
-        vals = jax.vmap(lambda uu: al_value(uu, lam, mu))(cands)
+        if cfg.linesearch == "linearized":
+            # score candidates on the linearized rollout (reuses jy — no
+            # extra tube evaluations); exact tiny y-space maps on top
+            vals = jax.vmap(
+                lambda uu: al_from(y + jy @ (uu - u), uu, lam, mu)
+            )(cands)
+        else:
+            vals = jax.vmap(lambda uu: al_value(uu, lam, mu))(cands)
         vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
         best = jnp.argmin(vals)
         return jnp.where(vals[best] < f0, cands[best], u)
@@ -457,9 +524,7 @@ def solve_al_nlp_gn(
             jac = jax.jacfwd(dist_small)(y) @ jy
             jtv = jac.T @ v
             jtj = jac.T @ (jac * (g > 0.0)[:, None])
-            d = jnp.linalg.solve(
-                jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv
-            )
+            d = _newton_solve(jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv)
             u_new = jnp.clip(u + d, lo, hi)
             better = jnp.sum(
                 jnp.maximum(dist_small(outputs(u_new)), 0.0)

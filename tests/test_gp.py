@@ -410,3 +410,34 @@ def test_ssm_predict_jac_closed_form_with_normalization(rng):
         mu2, var2 = ssm.predict_latent(jnp.concatenate([x0, u0]))
         np.testing.assert_allclose(np.asarray(mu), np.asarray(mu2), rtol=1e-10)
         np.testing.assert_allclose(np.asarray(var), np.asarray(var2), rtol=1e-10)
+
+
+def test_bucketed_view_preserves_posterior(rng):
+    """Shape bucketing (gp_shrink_to_bucket): the sliced factors must BE the
+    factors of the sliced problem — identical posterior, smaller contractions
+    (the planner hot-loop optimization; see models/ssm.ssm_bucketed)."""
+    from safe_exploration_tpu.models.gp import gp_shrink_to_bucket
+
+    x, y = make_data(rng, n=40)
+    gp = gp_init(("rbf", "rbf"), x, y, n_max=256)
+    small = gp_shrink_to_bucket(gp)
+    assert small.n_max == 64  # smallest power-of-2 bucket >= 40
+    for _ in range(4):
+        z = jnp.asarray(rng.standard_normal(3))
+        m1, v1 = gp_predict(gp, z)
+        m2, v2 = gp_predict(small, z)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-9)
+    # appends continue on the FULL buffer; bucket view re-derived after
+    xn = jnp.asarray(rng.standard_normal(3))
+    yn = jnp.asarray(rng.standard_normal(2))
+    gp2 = gp_append_point(gp, xn, yn)
+    small2 = gp_shrink_to_bucket(gp2)
+    np.testing.assert_allclose(
+        np.asarray(gp_predict(small2, xn)[0]),
+        np.asarray(gp_predict(gp2, xn)[0]), rtol=1e-9,
+    )
+    # ring-wrapped (non-prefix) layouts refuse to bucket
+    gp_wrap = gp_init(("rbf", "rbf"), x, y, n_max=40)
+    gp_wrap = gp_update_data(gp_wrap, x[:8], y[:8], replace_old=True)
+    assert gp_shrink_to_bucket(gp_wrap).n_max == 40

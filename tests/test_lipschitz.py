@@ -142,3 +142,45 @@ def test_calibrated_bounds_conservative_off_data(key):
     assert np.all(np.asarray(gaps_sig) <= np.asarray(bound_sig) + 1e-10), (
         np.max(np.asarray(gaps_sig) - np.asarray(bound_sig))
     )
+
+
+def test_max_eig_closed_form_and_squaring_vs_eigvalsh(rng):
+    """The hot-path lambda_max (closed form at n=2, repeated-squaring power
+    method at n>=3) must match a dense symmetric eigensolve on Q^1/2 B Q^1/2
+    across sizes, including near-tied spectra, and its gradient must match
+    the eigenvalue derivative (finite differences)."""
+    import numpy as np
+
+    from safe_exploration_tpu.ops.lipschitz import max_eig_psd_product
+
+    for n in (2, 3, 4, 6, 9):
+        for trial in range(4):
+            a = rng.standard_normal((n, n))
+            b_ = rng.standard_normal((n, n))
+            q = jnp.asarray(a @ a.T + 0.1 * np.eye(n))
+            b = jnp.asarray(b_ @ b_.T + 0.1 * np.eye(n))
+            m = q @ b
+            got = float(max_eig_psd_product(m))
+            sq = np.asarray(jax.scipy.linalg.sqrtm(np.asarray(q)).real)
+            ref = float(np.linalg.eigvalsh(sq @ np.asarray(b) @ sq).max())
+            np.testing.assert_allclose(got, ref, rtol=1e-5, err_msg=f"n={n}")
+    # near-tied spectrum (power iteration's weak spot): any convex mix of the
+    # tied eigenvectors still yields lambda_max
+    q = jnp.asarray(np.diag([2.0, 2.0 - 1e-9, 1.0]))
+    got = float(max_eig_psd_product(q @ jnp.eye(3)))
+    np.testing.assert_allclose(got, 2.0, rtol=1e-8)
+
+    # gradient vs central differences through the n=2 closed form and n=4 path
+    for n in (2, 4):
+        a = rng.standard_normal((n, n))
+        q0 = jnp.asarray(a @ a.T + 0.5 * np.eye(n))
+        f = lambda qq: max_eig_psd_product(qq @ (qq + jnp.eye(n)))
+        g = jax.grad(f)(q0)
+        eps = 1e-6
+        for _ in range(3):
+            d_ = rng.standard_normal((n, n))
+            d = jnp.asarray(d_ + d_.T)
+            fd = (f(q0 + eps * d) - f(q0 - eps * d)) / (2 * eps)
+            np.testing.assert_allclose(
+                float(jnp.sum(g * d)), float(fd), rtol=5e-4, atol=1e-8
+            )

@@ -164,24 +164,62 @@ def test_feasibility_tolerance_unified_across_planners():
     assert not bool(feas_strict)       # strict gate rejects it
 
 
-def test_model_error_metric_tracks_learning(key):
+def test_model_error_metric_is_prediction_error(key):
     """VERDICT r2 weak #4: the episodic 'model_error' metric must be the GP
     PREDICTION error |resid - mu(z)| (capable of decreasing as the model
-    learns), not the raw residual magnitude (which never can)."""
-    cfg = small_cfg(n_ep=3, n_steps=10)
-    exp = build_experiment(cfg, dtype=jnp.float64)
-    out = run_episodic(
-        exp["env"], exp["init_state"], exp["get_action"],
-        exp["a"], exp["b"], exp["k_fb"],
-        key=key, kern_types=exp["kern_types"], n_max=cfg.n_max,
-        l_mu=exp["l_mu"], l_sigma=exp["l_sigma"],
-        n_ep=cfg.n_ep, n_steps=cfg.n_steps,
-        n_init_samples=8,  # start data-poor so learning is visible
-        hyp_iters=cfg.hyp_iters,
+    learns), not the raw residual magnitude (which never can).
+
+    (a) formula pin: the rollout's per-step model_err equals the recomputed
+        ||resid - mu(x, u_applied)|| under the episode's frozen model;
+    (b) learnability pin: on transitions with real residual signal (the wide
+        initial-data region, where the linearization error is well above the
+        noise floor), the metric shrinks as the model's dataset grows — the
+        raw-residual version cannot.
+    """
+    from safe_exploration_tpu.models import ssm_predict
+
+    exp = build_experiment(small_cfg(), dtype=jnp.float64)
+    ssm = build_ssm(exp, key)
+    traj, _, _ = rollout_episode(
+        exp["env"], exp["get_action"], key, exp["init_state"](), ssm,
+        jnp.asarray([0.05, 0.0], jnp.float64), 6, exp["a"], exp["b"],
     )
-    me = out["series"]["model_error"]
-    # the model improves with data: later episodes beat the data-poor first
-    assert min(me[1:]) < me[0], me
+    for t in range(6):
+        mu, _ = ssm_predict(ssm, traj["x"][t], traj["u"][t])
+        ref = float(jnp.linalg.norm(traj["resid"][t] - mu))
+        np.testing.assert_allclose(float(traj["model_err"][t]), ref, rtol=1e-9)
+
+    # (b): evaluate prediction error on held-out wide-region transitions with
+    # a 6-point model vs a 60-point fitted model — more data must help
+    from safe_exploration_tpu.models import ssm_fit
+
+    k1, k2 = jax.random.split(jax.random.fold_in(key, 9))
+    xs, us, resid = collect_initial_data(
+        exp["env"], k1, 80, exp["a"], exp["b"], exp["k_fb"]
+    )
+    x_tr, u_tr, y_tr = xs[:60], us[:60], resid[:60]
+    x_te, u_te, y_te = xs[60:], us[60:], resid[60:]
+
+    def pred_err(ssm_):
+        mu = jax.vmap(lambda x, u: ssm_predict(ssm_, x, u)[0])(x_te, u_te)
+        return float(jnp.mean(jnp.linalg.norm(y_te - mu, axis=-1)))
+
+    ssm_poor = make_gp_ssm(
+        exp["kern_types"], x_tr[:6], u_tr[:6], y_tr[:6], n_max=96,
+        l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], log_noise=-4.0,
+    )
+    ssm_rich = ssm_fit(
+        make_gp_ssm(
+            exp["kern_types"], x_tr, u_tr, y_tr, n_max=96,
+            l_mu=exp["l_mu"], l_sigma=exp["l_sigma"], log_noise=-4.0,
+        ),
+        iters=120,
+    )
+    # more data and a fit must reduce the PREDICTION error — the raw
+    # |resid| magnitude (the old metric) is invariant to the model entirely
+    assert pred_err(ssm_rich) < pred_err(ssm_poor), (
+        pred_err(ssm_rich), pred_err(ssm_poor)
+    )
 
 
 def test_ssm_full_cov_consistent_with_pointwise(key):
