@@ -90,6 +90,11 @@ class ExperimentConfig:
     # SQP knobs
     sqp_outer: int = 12
     sqp_inner: int = 6
+    # restoration budget: Gauss-Newton feasibility-polish steps after the AL
+    # loop, and rescue-burst AL outers (restore-then-reoptimize) after the
+    # polish — the knobs behind the robust cold-start budget (see bench.py)
+    sqp_polish: int = 3
+    sqp_rescue: int = 0
 
     # runtime schedule
     n_ep: int = 6
@@ -152,7 +157,9 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
 
     warm_len = cfg.n_safe
     if cfg.solver == "cem":
-        _warn_ignored_knobs(cfg, ignored=("sqp_outer", "sqp_inner"))
+        _warn_ignored_knobs(
+            cfg, ignored=("sqp_outer", "sqp_inner", "sqp_polish", "sqp_rescue")
+        )
         cem_cfg = CemConfig(
             n_safe=cfg.n_safe,
             n_samples=cfg.cem_samples,
@@ -191,6 +198,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         sqp_cfg = SqpConfig(
             n_safe=cfg.n_safe, c_safety=cfg.c_safety,
             n_outer=cfg.sqp_outer, n_inner=cfg.sqp_inner,
+            n_polish=cfg.sqp_polish, n_rescue_outer=cfg.sqp_rescue,
             n_perf=cfg.n_perf, r_shared=cfg.r_shared,
             perf_method=cfg.perf_trajectory, feas_tol=cfg.feas_tol,
         )

@@ -78,7 +78,17 @@ class SqpConfig(NamedTuple):
     # feasibility polish: Gauss-Newton steps on 0.5*||max(g,0)||^2 after the
     # AL loop — cheap (no objective Hessian) and recovers lanes the fixed AL
     # budget left marginally infeasible (IPOPT's restoration-phase analog).
+    # Each step backtracks over {1, 1/2, 1/4} of the GN direction (same
+    # Jacobian) and keeps the best violation — the single full-step
+    # accept/reject got stuck on curved constraint boundaries (measured:
+    # backtracking closes ~half of the gap between the 10x3 budget and the
+    # 25x8 oracle ceiling on cold-start feasibility).
     n_polish: int = 3
+    # rescue burst: extra AL outer iterations AFTER the polish, warm-started
+    # from the polished primal with fresh multipliers at a boosted penalty —
+    # IPOPT's "restore then re-optimize" move for lanes the first AL pass
+    # stalled on. 0 disables.
+    n_rescue_outer: int = 0
     # Newton curvature model: "gn" computes the AL Hessian by Gauss-Newton
     # through the rollout outputs y — ONE jacfwd of the rollout per step plus
     # exact small-space curvature of cost/constraints in y (only the rollout
@@ -384,10 +394,10 @@ def solve_al_nlp(
         length=cfg.n_outer,
     )
 
-    if cfg.n_polish > 0:
-        # feasibility restoration: damped Gauss-Newton on the violation only.
-        # Guarded to never increase the violation (step rejected otherwise),
-        # so a feasible AL solution is untouched.
+    def do_polish(u_in):
+        # feasibility restoration: damped Gauss-Newton on the violation only,
+        # backtracking over step fractions; never increases the violation
+        # (all candidates rejected otherwise), so feasible lanes are untouched.
         def polish_step(u, _):
             g = constraints(u)
             v = jnp.maximum(g, 0.0)
@@ -395,11 +405,31 @@ def solve_al_nlp(
             jtv = jac.T @ v
             jtj = jac.T @ (jac * (g > 0.0)[:, None])
             d = _newton_solve(jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv)
-            u_new = jnp.clip(u + d, lo, hi)
-            better = jnp.sum(jnp.maximum(constraints(u_new), 0.0)) < jnp.sum(v)
-            return jnp.where(better, u_new, u), None
+            alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125], dtype)
+            cands = jax.vmap(lambda al_: jnp.clip(u + al_ * d, lo, hi))(alphas)
+            viols = jax.vmap(
+                lambda uu: jnp.sum(jnp.maximum(constraints(uu), 0.0))
+            )(cands)
+            best = jnp.argmin(viols)
+            take = viols[best] < jnp.sum(v)
+            return jnp.where(take, cands[best], u), None
 
-        u_fin, _ = jax.lax.scan(polish_step, u_fin, None, length=cfg.n_polish)
+        u_out, _ = jax.lax.scan(polish_step, u_in, None, length=cfg.n_polish)
+        return u_out
+
+    if cfg.n_polish > 0:
+        u_fin = do_polish(u_fin)
+
+    if cfg.n_rescue_outer > 0:
+        # rescue burst: continue the AL schedule from the polished primal with
+        # fresh multipliers — re-optimizes lanes the first pass stalled on
+        mu_r = jnp.asarray(cfg.mu0 * cfg.mu_growth ** cfg.n_outer, dtype)
+        (u_fin, _, _), _ = jax.lax.scan(
+            outer_step, (u_fin, jnp.zeros_like(lam_fin), mu_r), None,
+            length=cfg.n_rescue_outer,
+        )
+        if cfg.n_polish > 0:
+            u_fin = do_polish(u_fin)
 
     return u_fin, lam_fin, constraints(u_fin)
 
@@ -512,7 +542,7 @@ def solve_al_nlp_gn(
         length=cfg.n_outer,
     )
 
-    if cfg.n_polish > 0:
+    def do_polish(u_in):
         def polish_step(u, _):
             def out_aux(uu):
                 yy = outputs(uu)
@@ -525,13 +555,33 @@ def solve_al_nlp_gn(
             jtv = jac.T @ v
             jtj = jac.T @ (jac * (g > 0.0)[:, None])
             d = _newton_solve(jtj + 1e-6 * jnp.eye(n_var, dtype=dtype), -jtv)
-            u_new = jnp.clip(u + d, lo, hi)
-            better = jnp.sum(
-                jnp.maximum(dist_small(outputs(u_new)), 0.0)
-            ) < jnp.sum(v)
-            return jnp.where(better, u_new, u), None
+            # backtracking over the GN direction (same Jacobian): the single
+            # full-step accept/reject stalls on curved constraint boundaries
+            alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125], dtype)
+            cands = jax.vmap(lambda al_: jnp.clip(u + al_ * d, lo, hi))(alphas)
+            viols = jax.vmap(
+                lambda uu: jnp.sum(jnp.maximum(dist_small(outputs(uu)), 0.0))
+            )(cands)
+            best = jnp.argmin(viols)
+            take = viols[best] < jnp.sum(v)
+            return jnp.where(take, cands[best], u), None
 
-        u_fin, _ = jax.lax.scan(polish_step, u_fin, None, length=cfg.n_polish)
+        u_out, _ = jax.lax.scan(polish_step, u_in, None, length=cfg.n_polish)
+        return u_out
+
+    if cfg.n_polish > 0:
+        u_fin = do_polish(u_fin)
+
+    if cfg.n_rescue_outer > 0:
+        # rescue burst: continue the AL penalty schedule from the polished
+        # primal with fresh multipliers (IPOPT's restore-then-reoptimize)
+        mu_r = jnp.asarray(cfg.mu0 * cfg.mu_growth ** cfg.n_outer, dtype)
+        (u_fin, _, _), _ = jax.lax.scan(
+            outer_step, (u_fin, jnp.zeros_like(lam_init), mu_r), None,
+            length=cfg.n_rescue_outer,
+        )
+        if cfg.n_polish > 0:
+            u_fin = do_polish(u_fin)
 
     return u_fin, lam_fin, dist_small(outputs(u_fin))
 

@@ -236,3 +236,78 @@ def test_unrolled_spd_solve_matches_lapack(setup):
     bad = jnp.asarray(np.diag([1.0, -1.0, 1.0, 1.0, 1.0]))
     d_bad = _solve_spd_unrolled(bad, jnp.ones(5))
     assert not bool(jnp.all(jnp.isfinite(d_bad)))
+
+
+def test_rescue_burst_recovers_stalled_nlp():
+    """The rescue burst (extra AL outers warm-started from the polished primal
+    with fresh multipliers at a boosted penalty — IPOPT's restore-then-
+    reoptimize move) must converge an instance the first AL pass provably
+    stalls on. Deterministic synthetic stall: min (u+2)^2 s.t. u >= 0 with a
+    deliberately under-penalized 1-outer budget leaves u = -1.6 (violation
+    1.6); the rescue continues the penalty schedule and must land on the
+    KKT point u* = 0. Pinned on BOTH AL cores (exact-Hessian and GN)."""
+    from safe_exploration_tpu.solvers.sqp import (
+        SqpConfig,
+        solve_al_nlp,
+        solve_al_nlp_gn,
+    )
+
+    obj = lambda u: jnp.sum((u + 2.0) ** 2)
+    con = lambda u: -u  # u >= 0
+    u0 = jnp.asarray([-1.5])
+    lo, hi = jnp.asarray([-5.0]), jnp.asarray([5.0])
+    outputs = lambda u: u
+    cost_small = lambda y, u: jnp.sum((u + 2.0) ** 2)
+    dist_small = lambda y: -y
+
+    def solve(core, resc):
+        cfg = SqpConfig(n_outer=1, n_inner=2, mu0=0.5, mu_growth=3.0,
+                        n_polish=0, n_rescue_outer=resc)
+        if core == "exact":
+            u, _, g = solve_al_nlp(obj, con, u0, lo, hi, cfg)
+        else:
+            u, _, g = solve_al_nlp_gn(outputs, cost_small, dist_small,
+                                      u0, lo, hi, cfg, jnp.zeros((1,)))
+        return float(u[0]), float(jnp.maximum(g, 0.0).sum())
+
+    for core in ("exact", "gn"):
+        u_stall, viol_stall = solve(core, 0)
+        assert viol_stall > 1.0, (core, viol_stall)  # genuinely stalled
+        u_resc, viol_resc = solve(core, 6)
+        assert viol_resc < 1e-4, (core, viol_resc)
+        assert abs(u_resc) < 1e-3, (core, u_resc)  # at the KKT point
+
+
+def test_rescue_burst_monotone_on_mpc(setup):
+    """On the real MPC problem the rescue/backtracking-polish path must never
+    flip a feasible lane to infeasible (every restoration step is guarded to
+    reject violation-increasing candidates), and the extra optimization must
+    not degrade the feasible lanes' objective."""
+    from safe_exploration_tpu.solvers.sqp import SqpConfig, make_sqp_planner
+
+    exp, ssm, key = setup
+
+    def planner_for(**kw):
+        scfg = SqpConfig(n_safe=4, c_safety=2.0, n_outer=2, n_inner=2, **kw)
+        return make_sqp_planner(
+            exp["env"], exp["k_fb"], exp["a"], exp["b"], exp["cost_fn"], scfg
+        )
+
+    base = planner_for(n_polish=0, n_rescue_outer=0)
+    rescued = planner_for(n_polish=3, n_rescue_outer=3)
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-1.0, 1.0, (16, 2)) * np.array([0.15, 0.4]))
+    warm = jnp.zeros((4, 1), jnp.float64)
+    _, feas_b, _, info_b = jax.jit(jax.vmap(
+        lambda x: base(key, ssm, x, warm)
+    ))(x0s)
+    _, feas_r, _, info_r = jax.jit(jax.vmap(
+        lambda x: rescued(key, ssm, x, warm)
+    ))(x0s)
+    feas_b = np.asarray(feas_b)
+    feas_r = np.asarray(feas_r)
+    assert feas_r[feas_b].all()
+    both = feas_b & feas_r
+    cost_b = np.asarray(info_b["cost"])[both]
+    cost_r = np.asarray(info_r["cost"])[both]
+    assert (cost_r <= cost_b + 1e-6).all(), (cost_b, cost_r)
