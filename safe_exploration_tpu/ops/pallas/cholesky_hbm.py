@@ -123,8 +123,8 @@ def _chol_hbm_call(a_cols, *, interpret: bool):
         functools.partial(_chol_hbm_kernel, n=n, p=p, block=BLOCK),
         out_shape=jax.ShapeDtypeStruct((nb, n, p), a_cols.dtype),
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((n, p), a_cols.dtype),         # current block-column
             pltpu.VMEM((2, n, p), a_cols.dtype),      # double-buffered panels
@@ -136,7 +136,14 @@ def _chol_hbm_call(a_cols, *, interpret: bool):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # The scoped-vmem request is scratch (3nP floats) plus Mosaic's (n, P)
+        # matmul temporaries — ~19 MB at n=2048, above the compiler's 16 MB
+        # DEFAULT scoped limit (not the hardware capacity: v5e VMEM is
+        # 128 MB). Raise the limit so the panel working set scales to
+        # n ~= 8k; beyond that the P=128 fallback halves it again.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=n * n * n // 3,
             bytes_accessed=n * n * n // (2 * p) * 4,
