@@ -16,9 +16,10 @@ TPU-first design decisions (SURVEY.md §7):
     (sigma_n^2 + jitter) + (1 - m_i)). Masked rows/cols reduce to the identity, so
     chol(K) is well-defined for ANY mask, beta = K^{-1}(m*y) is exactly zero on
     padding, and posterior mean/var are bit-identical to the unpadded computation.
-  * The Gram build and the (E-batched) Cholesky are MXU work; for the large-N
-    tier there is a Pallas blocked Cholesky (ops/pallas) and a sharded
-    inducing-point path (models/sparse_gp.py, parallel/).
+  * The Gram build and the (E-batched) Cholesky are MXU work via XLA's
+    lowerings (measured faster than the hand-tiled ops/pallas library kernels
+    in every regime — see the dispatch-policy note below); the large-N tier
+    is the sharded inducing-point path (models/sparse_gp.py, parallel/).
 """
 
 from __future__ import annotations
@@ -91,33 +92,32 @@ def _masked_gram(
 
 
 # Pallas dispatch policy (round 3, measured DEVICE-SIDE on TPU v5e via
-# chain-differenced timing — host timings over the tunnel sit on a ~0.7 ms
-# dispatch floor and can't rank sub-ms kernels):
-#   * fused masked RBF Gram: WINS 2-3x vs the XLA composition when the Gram
-#     must materialize (it feeds the Cholesky custom call, so it does) —
-#     dispatched for n >= MIN_N.
-#   * blocked TRSM: loses 1.6-2x to XLA's triangular solve at every measured
-#     size (256/512/1024: 45/95/250 us vs 24/59/130 us) — NOT dispatched;
-#     explicit library kernel only (ops/pallas/trsm.py).
-#   * VMEM/HBM Cholesky: lose 3-5x (VMEM tier) / 1.8x (panel tier, n=1536:
-#     2.50 ms vs 1.43 ms) under the f32 matmul-precision policy — NOT
-#     dispatched; explicit library kernels only.
-_PALLAS_MIN_N = 256
-
-
-def _use_pallas(n: int, dtype) -> bool:
-    from safe_exploration_tpu.ops.pallas import on_tpu
-
-    return on_tpu() and n >= _PALLAS_MIN_N and dtype == jnp.float32
+# calibrated chain-differenced timing — host timings over the tunnel sit on
+# a ~0.7 ms dispatch floor and can't rank sub-ms kernels; see
+# bench.py::_device_ms): on this hardware + toolchain XLA's lowering wins
+# EVERY kernel-for-kernel A/B at f32-accurate precision, so NOTHING here
+# dispatches to the hand-tiled kernels:
+#   * fused masked RBF Gram: 1.3-1.6x slower than the XLA composition at
+#     every size (n=256/512/1024/2048: 3.0/6.0/16.3/54.9 us vs XLA
+#     1.9/4.0/11.9/42.9) — XLA fuses the elementwise tail into the distance
+#     matmul's epilogue itself, and its matmul schedule is better tuned.
+#     (Earlier "2-3x wins" in r2-era notes were fixed-short-chain
+#     differencing noise: the n=2048 "10.9 us" reading was below the 20 us
+#     HBM write speed-of-light for the 16.8 MB output.)
+#   * blocked TRSM: 1.6-2x slower (256/512/1024: 45/95/250 us vs
+#     24/59/130 us).
+#   * VMEM / HBM-panel Cholesky: 3-5x / ~3x slower (HBM tier n=2048/4096:
+#     1.92/5.41 ms vs 0.60/1.59 ms) — the sequential 128-row VPU sweeps in
+#     the diagonal-block factorization dominate; XLA pipelines them better.
+# All four remain explicit-call LIBRARY kernels (ops/pallas/) with
+# interpret-mode oracle tests, and bench.py publishes every A/B so a future
+# libtpu/toolchain shift stays driver-visible. Where Pallas DOES pay on this
+# workload is structural fusion XLA cannot express (the solver-side fused
+# rollout work), not these BLAS-shaped ops.
 
 
 def _refit_gram(gp: GP, d: int, noise_var: jax.Array) -> jax.Array:
-    """Masked Gram for the (non-differentiated) refit path: fused Pallas kernel
-    on TPU for the RBF large-N tier, XLA composition otherwise."""
-    if gp.kern_types[d] == "rbf" and _use_pallas(gp.n_max, gp.x.dtype):
-        from safe_exploration_tpu.ops.pallas import rbf_gram_masked
-
-        return rbf_gram_masked(gp.params[d], gp.x, gp.mask, noise_var)
+    """Masked Gram for the (non-differentiated) refit path."""
     return _masked_gram(gp.kern_types[d], gp.params[d], gp.x, gp.mask, noise_var)
 
 
@@ -130,12 +130,12 @@ def _chol_psd(k: jax.Array, *, batched: bool) -> jax.Array:
     "batched Pallas win" was secretly a bf16-vs-f32 comparison, and round 3's
     device-side chain-differenced timing shows the VMEM kernel 3-5x slower
     (n=256/512/1024: 191/385/794 us vs XLA 40/101/230 us) and the HBM panel
-    kernel 1.8x slower at n=1536 (2.50 ms vs 1.43 ms). The sequential
-    128-row VPU sweeps in the diagonal-block factorization dominate both
-    kernels; XLA's lowering pipelines that better. ``cholesky_blocked`` and
-    ``cholesky_hbm`` remain explicit-call library kernels with interpret-mode
-    oracle tests; bench.py keeps publishing the A/B so a future libtpu shift
-    is visible.
+    kernel ~3x slower (n=2048/4096: 1.92/5.41 ms vs 0.60/1.59 ms). The
+    sequential 128-row VPU sweeps in the diagonal-block factorization
+    dominate both kernels; XLA's lowering pipelines that better.
+    ``cholesky_blocked`` and ``cholesky_hbm`` remain explicit-call library
+    kernels with interpret-mode oracle tests; bench.py keeps publishing the
+    A/B so a future libtpu shift is visible.
     """
     del batched
     return jnp.linalg.cholesky(k)
@@ -186,9 +186,11 @@ def gp_refit(gp: GP) -> GP:
     """Recompute posterior factors (chol, beta) for the current data + params.
 
     Parity: the Cholesky the reference does in GPy/LAPACK on every
-    ``update_model`` (SURVEY.md §3.1 hot loop 'GP refit'). On TPU at size the
-    Gram build and factorization run as Pallas kernels (ops/pallas); this path
-    is never differentiated (hyperopt's gp_nll keeps the XLA cholesky).
+    ``update_model`` (SURVEY.md §3.1 hot loop 'GP refit'). Gram build and
+    factorization stay on XLA's lowerings (measured faster than the
+    hand-tiled ops/pallas kernels in every regime — see the dispatch-policy
+    note above); this path is never differentiated (hyperopt's gp_nll keeps
+    the XLA cholesky).
     """
     if gp.precision == "ff":
         from safe_exploration_tpu.ops.ff import gp_factors_ff
@@ -213,13 +215,7 @@ def gp_refit(gp: GP) -> GP:
     if kt is not None:
         def per_dim(p, log_noise_d, yd):
             noise_var = jnp.exp(2.0 * log_noise_d)
-            if kt == "rbf" and _use_pallas(gp.n_max, gp.x.dtype):
-                from safe_exploration_tpu.ops.pallas import rbf_gram_masked
-
-                k = rbf_gram_masked(p, gp.x, gp.mask, noise_var)
-            else:
-                k = _masked_gram(kt, p, gp.x, gp.mask, noise_var)
-            # vmapped over output dims -> the batched (winning) Pallas regime
+            k = _masked_gram(kt, p, gp.x, gp.mask, noise_var)
             l = _chol_psd(k, batched=gp.n_out > 1)
             ym = gp.mask * yd
             z = jax.scipy.linalg.solve_triangular(l, ym, lower=True)
