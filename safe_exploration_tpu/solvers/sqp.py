@@ -118,8 +118,12 @@ def _solve_spd_unrolled(h: jax.Array, rhs: jax.Array) -> jax.Array:
     (batch,)-vector under vmap. Breakdown (h not SPD) surfaces as NaN in d,
     exactly like the custom-call path, and is handled by the caller's
     fallback.
+
+    Shape-polymorphic over trailing lane dims: ``h`` may be (n, n) of scalars
+    or (n, n, B) of lane vectors (the lane-major backend, solvers/sqp_lanes) —
+    every "scalar" below broadcasts over whatever trails the first two axes.
     """
-    n = h.shape[-1]
+    n = h.shape[0]
     # Cholesky: column-by-column, fully unrolled (static n)
     l = [[None] * n for _ in range(n)]
     for j in range(n):

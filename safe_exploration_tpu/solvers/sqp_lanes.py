@@ -1,0 +1,579 @@
+"""Lane-major batched SafeMPC solver — the TPU layout-native SQP backend.
+
+WHY THIS FILE EXISTS. The portable solver (solvers/sqp.py) is batched with
+``jax.vmap``, which places the batch dimension FIRST in every intermediate.
+XLA:TPU then tiles the trailing (tiny) dims of shapes like f32[512,3,2,2]
+onto the (8, 128) vector registers: a 2x2 ellipsoid block occupies a 2x128
+tile, wasting ~64x of the lanes, and a (512, 3) tensor runs at 3/128 lane
+utilization. The TPU profile of a 512-lane solve shows ~23k such ops at
+~2 us each — the batched solver is LAYOUT-bound, not FLOP-bound (throughput
+grew only 12% from batch 512 to 4096). ``vmap(in_axes=-1)`` does not help:
+batching rules normalize the batch dim per primitive (measured identical).
+
+This backend instead writes the whole solve BATCH-LAST by construction:
+
+  * every per-lane scalar is a ``(B,)`` array — fully lane-tiled;
+  * tiny-matrix algebra (ellipsoids, closed-loop maps, Newton systems) is
+    unrolled over indices, exactly like sqp.py's ``_solve_spd_unrolled``;
+  * GP contractions run as ``(n, B)`` matmuls — MXU work with full lanes;
+  * the Gauss-Newton machinery comes from ``jax.linearize`` + basis-tangent
+    jvps, so AD never reintroduces a leading batch dim (tangent/cotangent
+    shapes mirror the primal ``(..., B)`` shapes).
+
+A representative 5-stage tube chain measures **8.5x faster** in this form
+than the vmapped form on TPU v5e (chain-differenced, see bench.py). The
+backend covers the production cold/warm solve configuration (uniform-RBF
+GP-SSM, GN Hessian, exact line search, no perf trajectory, fixed feedback
+gains) and falls back to the portable path otherwise; parity with
+``solve_safempc_nlp`` is pinned in tests/test_sqp_lanes.py.
+
+Parity: reference ``safempc_simple.py::SimpleSafeMPC`` solve path +
+IPOPT/MUMPS (SURVEY.md §2.5, §3.3) — same NLP, same augmented-Lagrangian /
+polish / rescue schedule as solvers/sqp.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from safe_exploration_tpu.models.ssm import GPSSM
+from safe_exploration_tpu.solvers.sqp import SqpConfig, _solve_spd_unrolled
+
+__all__ = ["lanes_supported", "solve_safempc_lanes", "make_sqp_lane_solver"]
+
+
+# ---------------------------------------------------------------- lane algebra
+# A lane matrix is a nested Python list m[i][j] of (B,) arrays; a lane vector
+# is a list v[i] of (B,) arrays. Unrolled index loops keep every op on fully
+# lane-tiled (B,) shapes.
+
+
+def _mat_mul(a, b):
+    n, m, k = len(a), len(b[0]), len(b)
+    return [[sum(a[i][l] * b[l][j] for l in range(k)) for j in range(m)]
+            for i in range(n)]
+
+
+def _mat_vec(a, v):
+    return [sum(a[i][j] * v[j] for j in range(len(v))) for i in range(len(a))]
+
+
+def _trace(a):
+    return sum(a[i][i] for i in range(len(a)))
+
+
+def _const_rows(mat: jax.Array):
+    """A constant (k, m) jax array as a list-of-lists of scalars (broadcast
+    against (B,) lanes)."""
+    k, m = mat.shape
+    return [[mat[i, j] for j in range(m)] for i in range(k)]
+
+
+# ----------------------------------------------------------------- GP (lanes)
+
+
+def _gp_predict_lanes(ssm: GPSSM, z: jax.Array, *, want_jac: bool):
+    """Posterior mean/var (+ closed-form mean Jacobian) at B query lanes.
+
+    ``z``: (d_in, B) RAW state-action inputs (lane-last). Mirrors
+    models/gp._predict_dim + gp_predict_mean_jac (incl. the conditioning-
+    aware variance floor) and models/ssm.ssm_predict_jac's z_scale chain
+    rule, with every contraction shaped (n, B) — MXU-tiled matmuls.
+
+    Returns (mu (e, B), var (e, B)[, jac (e, d_in, B)]).
+    """
+    gp = ssm.gp
+    zz = z if ssm.z_scale is None else z / ssm.z_scale[:, None]
+    eps = jnp.finfo(zz.dtype).eps
+    mus, vars_, jacs = [], [], []
+    for d in range(gp.n_out):
+        params = gp.params[d]
+        ls = jnp.exp(params["log_lengthscales"])          # (d_in,)
+        sf2 = jnp.exp(2.0 * params["log_sf"])
+        xs = gp.x / ls[None, :]                            # (n, d_in)
+        zs = zz / ls[:, None]                              # (d_in, B)
+        d2 = (
+            jnp.sum(xs * xs, axis=-1)[:, None]
+            + jnp.sum(zs * zs, axis=0)[None, :]
+            - 2.0 * (xs @ zs)
+        )
+        kv = sf2 * jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * gp.mask[:, None]
+        mus.append(gp.beta[d] @ kv)                        # (B,)
+        kzz = sf2
+        floor = jnp.maximum(8.0 * eps * kzz, 1e-12)
+        vars_.append(
+            jnp.maximum(kzz - jnp.sum(kv * (gp.kinv[d] @ kv), axis=0), floor)
+        )
+        if want_jac:
+            # closed form (kernels.weighted_mean_jac, rbf branch):
+            # dmu/dz = (X^T w - z * sum(w)) / ls^2, w = kv * (mask * beta)
+            w = kv * (gp.mask * gp.beta[d])[:, None]       # (n, B)
+            jac = (gp.x.T @ w - zz * jnp.sum(w, axis=0)[None, :]) / (
+                ls * ls
+            )[:, None]
+            if ssm.z_scale is not None:
+                jac = jac / ssm.z_scale[:, None]
+            jacs.append(jac)                               # (d_in, B)
+    mu = jnp.stack(mus)
+    var = jnp.stack(vars_)
+    if want_jac:
+        return mu, var, jnp.stack(jacs)                    # (e, d_in, B)
+    return mu, var
+
+
+# ------------------------------------------------------------- tube (lanes)
+
+
+def _max_eig_lanes(m, iters: int = 30):
+    """Dominant eigenvalue of lane matrices M = Q B (PSD product) — mirrors
+    ops/lipschitz.max_eig_psd_product (closed form at n=2, trace-normalized
+    repeated squaring + Rayleigh refinement at n>=3), unrolled over lanes."""
+    n = len(m)
+    if n == 1:
+        return jnp.maximum(m[0][0], 0.0)
+    if n == 2:
+        tr = m[0][0] + m[1][1]
+        det = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+        disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+        return jnp.maximum(0.5 * (tr + disc), 0.0)
+    scale = _trace(m) / n + 1e-30
+    mn = [[m[i][j] / scale for j in range(n)] for i in range(n)]
+    n_sq = 3
+    n_refine = max(2, (iters + (1 << n_sq) - 1) // (1 << n_sq))
+    for _ in range(n_sq):
+        mn = _mat_mul(mn, mn)
+        s = _trace(mn) / n + 1e-30
+        mn = [[mn[i][j] / s for j in range(n)] for i in range(n)]
+    v = [1.0 + 1e-3 * i for i in range(n)]
+    nrm = sum(float(x) ** 2 for x in v) ** 0.5
+    v = [jnp.asarray(x / nrm, m[0][0].dtype) * jnp.ones_like(m[0][0])
+         for x in v]
+    for _ in range(n_refine):
+        w = _mat_vec(mn, v)
+        nw = jnp.sqrt(sum(x * x for x in w)) + 1e-30
+        v = [x / nw for x in w]
+    mv = _mat_vec(m, v)
+    num = sum(a * b for a, b in zip(v, mv))
+    den = sum(a * a for a in v) + 1e-30
+    return jnp.maximum(num / den, 0.0)
+
+
+def _sum_two_ellipsoids_q(q1, q2):
+    """Shape part of ops/ellipsoid.sum_two_ellipsoids on lane matrices."""
+    n = len(q1)
+    eps = 1e-30
+    t1 = _trace(q1) + eps
+    t2 = _trace(q2) + eps
+    c = jnp.sqrt(t1 / t2)
+    return [[(1.0 + 1.0 / c) * q1[i][j] + (1.0 + c) * q2[i][j]
+             for j in range(n)] for i in range(n)]
+
+
+def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
+    """Lane tube rollout: u_flat (n_var, B), x0 (n_s, B) ->
+    (p_traj, q_traj, var_traj) as lists over stages of lane structures.
+
+    Mirrors reachability/onestep.multistep_reachability from a POINT state
+    (the SafeMPC case): stage 0 is the point step, stages 1..T-1 the
+    closed-loop ellipsoid steps. ``bmat`` is the constant S^T S of the
+    Lipschitz lift (k_fb fixed per stage — cfg.opt_k_fb unsupported here).
+    """
+    t_len = cfg.n_safe
+    n_s = len(x0)
+    n_u = k_fb.shape[0]
+    noise = jnp.exp(2.0 * ssm.gp.log_noise)                # (e,)
+    a_rows = _const_rows(a)
+    b_rows = _const_rows(b)
+    kfb_rows = _const_rows(k_fb)
+    c_safety = cfg.c_safety
+
+    def kff_at(t):
+        return [u_flat[t * n_u + i] for i in range(n_u)]
+
+    # stage 0: point step (onestep_reachability_point)
+    kff = kff_at(0)
+    z = jnp.stack(list(x0) + kff)                          # (d_in, B)
+    mu, var = _gp_predict_lanes(ssm, z, want_jac=False)
+    p = [
+        sum(a_rows[i][j] * x0[j] for j in range(n_s))
+        + sum(b_rows[i][k] * kff[k] for k in range(n_u))
+        + mu[i]
+        for i in range(n_s)
+    ]
+    zero = jnp.zeros_like(p[0])
+    hw0 = [c_safety * jnp.sqrt(var[i] + noise[i]) for i in range(n_s)]
+    q = [[n_s * hw0[i] * hw0[i] if i == j else zero for j in range(n_s)]
+         for i in range(n_s)]
+    p_traj, q_traj, var_traj = [p], [q], [[var[i] for i in range(n_s)]]
+
+    l_mu, l_sigma = ssm.l_mu, ssm.l_sigma
+    for t in range(1, t_len):
+        kff = kff_at(t)
+        z = jnp.stack(list(p) + kff)
+        mu, var, jac = _gp_predict_lanes(ssm, z, want_jac=True)
+        p_next = [
+            sum(a_rows[i][j] * p[j] for j in range(n_s))
+            + sum(b_rows[i][k] * kff[k] for k in range(n_u))
+            + mu[i]
+            for i in range(n_s)
+        ]
+        # H = a + J_x + (b + J_u) k_fb  (onestep_reachability step 3)
+        h = [[
+            a_rows[i][j] + jac[i, j]
+            + sum((b_rows[i][k] + jac[i, n_s + k]) * kfb_rows[k][j]
+                  for k in range(n_u))
+            for j in range(n_s)] for i in range(n_s)]
+        q_lin = _mat_mul(_mat_mul(h, q), [[h[j][i] for j in range(n_s)]
+                                          for i in range(n_s)])
+        # Lipschitz remainder: r^2 = lambda_max(Q @ S^T S)
+        qb = _mat_mul(q, _const_rows(bmat))
+        r_sqr = _max_eig_lanes(qb)
+        r = jnp.sqrt(jnp.maximum(r_sqr, 0.0))
+        u_mu = [0.5 * l_mu[i] * r_sqr for i in range(n_s)]
+        u_sig = [l_sigma[i] * r for i in range(n_s)]
+        hw_t = [u_mu[i] for i in range(n_s)]
+        q_taylor = [[n_s * hw_t[i] * hw_t[i] if i == j else zero
+                     for j in range(n_s)] for i in range(n_s)]
+        hw_c = [c_safety * (jnp.sqrt(var[i] + noise[i]) + u_sig[i])
+                for i in range(n_s)]
+        q_conf = [[n_s * hw_c[i] * hw_c[i] if i == j else zero
+                   for j in range(n_s)] for i in range(n_s)]
+        q_sum = _sum_two_ellipsoids_q(q_lin, q_conf)
+        q = _sum_two_ellipsoids_q(q_sum, q_taylor)
+        p = p_next
+        p_traj.append(p)
+        q_traj.append(q)
+        var_traj.append([var[i] for i in range(n_s)])
+    return p_traj, q_traj, var_traj
+
+
+def _pack_y(p_traj, q_traj, var_traj):
+    parts = []
+    for p in p_traj:
+        parts += p
+    for q in q_traj:
+        for row in q:
+            parts += row
+    for v in var_traj:
+        parts += v
+    return jnp.stack(parts)                                # (ny, B)
+
+
+def _unpack_y(y, t_len, n_s):
+    idx = 0
+    p_traj, q_traj, var_traj = [], [], []
+    for _ in range(t_len):
+        p_traj.append([y[idx + i] for i in range(n_s)])
+        idx += n_s
+    for _ in range(t_len):
+        q_traj.append([[y[idx + i * n_s + j] for j in range(n_s)]
+                       for i in range(n_s)])
+        idx += n_s * n_s
+    for _ in range(t_len):
+        var_traj.append([y[idx + i] for i in range(n_s)])
+        idx += n_s
+    return p_traj, q_traj, var_traj
+
+
+def _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs, h_mat_safe, h_safe):
+    """Safety margins (reachability/safety.lin_ellipsoid_safety_distance) for
+    every stage + terminal, stacked (n_con, B)."""
+    p_traj, q_traj, _ = _unpack_y(y, t_len, n_s)
+
+    def margins(p, q, h_mat, h_vec):
+        out = []
+        for i in range(h_mat.shape[0]):
+            sup = sum(
+                h_mat[i, j] * q[j][k] * h_mat[i, k]
+                for j in range(n_s) for k in range(n_s)
+            )
+            sup = jnp.sqrt(jnp.maximum(sup, 0.0))
+            out.append(
+                sum(h_mat[i, j] * p[j] for j in range(n_s)) + sup - h_vec[i]
+            )
+        return out
+
+    rows = []
+    for t in range(t_len):
+        rows += margins(p_traj[t], q_traj[t], h_mat_obs, h_obs)
+    rows += margins(p_traj[-1], q_traj[-1], h_mat_safe, h_safe)
+    return jnp.stack(rows)                                 # (n_con, B)
+
+
+def _cost_lanes(cost_kind: str, cost_args: dict, y, u_flat, t_len, n_s, n_u):
+    """Lane forms of the stock objectives (solvers/costs.py) -> (B,)."""
+    p_traj, q_traj, var_traj = _unpack_y(y, t_len, n_s)
+    if cost_kind == "tracking":
+        target = cost_args["target"]
+        w_x = cost_args.get("w_x", 1.0)
+        w_u = cost_args.get("w_u", 0.1)
+        w_t = cost_args.get("w_terminal", 5.0)
+        stage = sum(
+            (p_traj[t][i] - target[i]) ** 2
+            for t in range(t_len - 1) for i in range(n_s)
+        )
+        ctrl = sum(u_flat[t * n_u + k] ** 2
+                   for t in range(t_len) for k in range(n_u))
+        term = sum((p_traj[-1][i] - target[i]) ** 2 for i in range(n_s))
+        return w_x * stage + w_u * ctrl + w_t * term
+    if cost_kind == "exploration":
+        scale = cost_args.get("scale", 1.0)
+        return -scale * sum(
+            jnp.sqrt(var_traj[t][i]) for t in range(t_len) for i in range(n_s)
+        )
+    raise ValueError(f"lane backend has no cost '{cost_kind}'")
+
+
+# ------------------------------------------------------------------- GN-AL
+
+
+def _basis_tangents(n_var: int, b: int, dtype):
+    return jnp.eye(n_var, dtype=dtype)[:, :, None] * jnp.ones(
+        (1, 1, b), dtype
+    )                                                       # (n_var, n_var, B)
+
+
+def _select_candidates(vals, cands, f0, u):
+    """Per-lane argmin over the candidate axis, accept only improvements.
+
+    vals (n_c, B), cands (n_c, n_var, B) -> (n_var, B). One-hot contraction
+    instead of gather keeps everything lane-tiled."""
+    best = jnp.argmin(vals, axis=0)                         # (B,)
+    onehot = (
+        jnp.arange(vals.shape[0])[:, None] == best[None, :]
+    ).astype(u.dtype)                                       # (n_c, B)
+    u_best = jnp.sum(onehot[:, None, :] * cands, axis=0)    # (n_var, B)
+    v_best = jnp.sum(onehot * vals, axis=0)                 # (B,)
+    return jnp.where(v_best < f0, u_best, u)
+
+
+def solve_safempc_lanes(
+    ssm: GPSSM,
+    x0s: jax.Array,
+    u_init: jax.Array,
+    k_fb: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    u_min: jax.Array,
+    u_max: jax.Array,
+    h_mat_obs: jax.Array,
+    h_obs: jax.Array,
+    h_mat_safe: jax.Array,
+    h_safe: jax.Array,
+    cost_kind: str,
+    cost_args: dict,
+    cfg: SqpConfig,
+    lam_init: jax.Array | None = None,
+):
+    """Batched safety-NLP solve, lane-major.
+
+    Args mirror solvers/sqp.solve_safempc_nlp but batched: x0s (B, n_s),
+    u_init (B, n_safe, n_u), lam_init (B, n_con) optional.
+
+    Returns (k_ff (B, n_safe, n_u), feasible (B,), violation (B,), info) with
+    info = {cost (B,), max_constraint (B,), warm_next (B, n_safe, n_u),
+    lam (B, n_con)} — same contract as the portable solver, so runners and
+    bench can swap backends. Parity pinned in tests/test_sqp_lanes.py.
+    """
+    if cfg.n_perf > 0 or cfg.opt_k_fb or cfg.hessian != "gn":
+        raise NotImplementedError(
+            "lane backend covers the production n_perf=0 / fixed-k_fb / GN "
+            "configuration; use solvers/sqp.py otherwise"
+        )
+    t_len = cfg.n_safe
+    n_u = k_fb.shape[0]
+    n_s = x0s.shape[1]
+    bsz = x0s.shape[0]
+    dtype = x0s.dtype
+    n_var = t_len * n_u
+    n_con = t_len * h_obs.shape[0] + h_safe.shape[0]
+
+    x0 = x0s.T                                              # (n_s, B)
+    u0 = jnp.moveaxis(u_init.reshape(bsz, n_var), 0, -1)    # (n_var, B)
+    lo = jnp.tile(u_min, t_len)[:, None]
+    hi = jnp.tile(u_max, t_len)[:, None]
+    lam0 = (
+        jnp.zeros((n_con, bsz), dtype) if lam_init is None else lam_init.T
+    )
+    s_lift = jnp.concatenate([jnp.eye(n_s, dtype=dtype), k_fb], axis=0)
+    bmat = s_lift.T @ s_lift
+
+    x0_rows = [x0[i] for i in range(n_s)]
+
+    def rollout_y(u_flat):
+        return _pack_y(*_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b,
+                                       cfg, bmat))
+
+    def dist(y):
+        return _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs,
+                           h_mat_safe, h_safe)
+
+    def cost(y, u_flat):
+        return _cost_lanes(cost_kind, cost_args, y, u_flat, t_len, n_s, n_u)
+
+    def al_of(y, u, lam, mu):
+        g = dist(y)
+        s = jnp.maximum(lam + mu * g, 0.0)
+        return cost(y, u) + jnp.sum(s * s - lam * lam, axis=0) / (2.0 * mu)
+
+    tangents = _basis_tangents(n_var, bsz, dtype)
+    alphas = 0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype)
+    polish_alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125], dtype)
+
+    def gn_step(u, lam, mu):
+        # ONE primal rollout + n_var jvps of its linearization (jy), then all
+        # further derivatives through the TINY y-space maps on y + Jy (v - u):
+        # grad at v=u equals the exact AL gradient; the Hessian is exactly the
+        # classical GN curvature (d2y/du2 dropped) — same math as
+        # solvers/sqp.solve_al_nlp_gn, laid out lane-last.
+        y, f_jvp = jax.linearize(rollout_y, u)
+        jy = jax.vmap(f_jvp)(tangents)                      # (n_var, ny, B)
+
+        def al_lin(v):
+            y_lin = y + jnp.einsum("ib,iyb->yb", v - u, jy)
+            return al_of(y_lin, v, lam, mu)
+
+        f0 = al_lin(u)                                      # true AL at u
+        grad_fn = jax.grad(lambda v: jnp.sum(al_lin(v)))
+        grad, g_jvp = jax.linearize(grad_fn, u)             # (n_var, B)
+        h = jax.vmap(g_jvp)(tangents)                       # (n_var, n_var, B)
+
+        diag = jnp.stack([jnp.abs(h[i, i]) for i in range(n_var)])
+        diag_scale = jnp.maximum(jnp.max(diag, axis=0), 1.0)
+        hs = 0.5 * (h + jnp.swapaxes(h, 0, 1))
+        eye = jnp.eye(n_var, dtype=dtype)[:, :, None]
+        d0 = _solve_spd_unrolled(hs + cfg.newton_damping * diag_scale * eye,
+                                 -grad)
+        d1 = _solve_spd_unrolled(hs + diag_scale * eye, -grad)
+        ok = jnp.all(jnp.isfinite(d0), axis=0)
+        d = jnp.where(ok[None, :], d0, d1)
+
+        cands = jnp.stack(
+            [jnp.clip(u + al_ * d, lo, hi) for al_ in alphas]
+        )                                                   # (n_c, n_var, B)
+        vals = jnp.stack([al_of(rollout_y(c), c, lam, mu) for c in cands])
+        vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+        return _select_candidates(vals, cands, f0, u)
+
+    def outer_step(carry, _):
+        u, lam, mu = carry
+
+        def inner(u_, _):
+            return gn_step(u_, lam, mu), None
+
+        u, _ = jax.lax.scan(inner, u, None, length=cfg.n_inner)
+        g = dist(rollout_y(u))
+        lam = jnp.maximum(lam + mu * g, 0.0)
+        mu = mu * cfg.mu_growth
+        return (u, lam, mu), None
+
+    u_cur = jnp.clip(u0, lo, hi)
+    (u_fin, lam_fin, _), _ = jax.lax.scan(
+        outer_step, (u_cur, lam0, jnp.asarray(cfg.mu0, dtype)), None,
+        length=cfg.n_outer,
+    )
+
+    def do_polish(u_in):
+        def polish_step(u, _):
+            y, f_jvp = jax.linearize(rollout_y, u)
+            jy = jax.vmap(f_jvp)(tangents)
+            g = dist(y)
+            v = jnp.maximum(g, 0.0)
+
+            def g_lin(vv):
+                return dist(y + jnp.einsum("ib,iyb->yb", vv - u, jy))
+
+            viol_fn = jax.grad(
+                lambda vv: jnp.sum(jnp.maximum(g_lin(vv), 0.0) * v)
+            )
+            # J^T v with the active mask folded in: grad of sum(max(g,0)*v)
+            # at vv=u gives jac^T (act * v) = jtv of the portable path
+            jtv = viol_fn(u)
+            gj_fn = jax.linearize(
+                lambda vv: jnp.maximum(g_lin(vv), 0.0) * (g > 0.0), u
+            )[1]
+            gj = jax.vmap(gj_fn)(tangents)                  # (n_var,n_con,B)
+            jtj = jnp.einsum("icb,jcb->ijb", gj, gj)
+            eye = jnp.eye(n_var, dtype=dtype)[:, :, None]
+            d = _solve_spd_unrolled(jtj + 1e-6 * eye, -jtv)
+            cands = jnp.stack(
+                [jnp.clip(u + al_ * d, lo, hi) for al_ in polish_alphas]
+            )
+            viols = jnp.stack([
+                jnp.sum(jnp.maximum(dist(rollout_y(c)), 0.0), axis=0)
+                for c in cands
+            ])
+            return _select_candidates(viols, cands,
+                                      jnp.sum(v, axis=0), u), None
+
+        u_out, _ = jax.lax.scan(polish_step, u_in, None, length=cfg.n_polish)
+        return u_out
+
+    if cfg.n_polish > 0:
+        u_fin = do_polish(u_fin)
+
+    if cfg.n_rescue_outer > 0:
+        mu_r = jnp.asarray(cfg.mu0 * cfg.mu_growth ** cfg.n_outer, dtype)
+        (u_fin, _, _), _ = jax.lax.scan(
+            outer_step, (u_fin, jnp.zeros_like(lam0), mu_r), None,
+            length=cfg.n_rescue_outer,
+        )
+        if cfg.n_polish > 0:
+            u_fin = do_polish(u_fin)
+
+    y_fin = rollout_y(u_fin)
+    g_fin = dist(y_fin)
+    violation = jnp.sum(jnp.maximum(g_fin, 0.0), axis=0)    # (B,)
+    feasible = violation <= cfg.feas_tol
+    info = {
+        "cost": cost(y_fin, u_fin),
+        "max_constraint": jnp.max(g_fin, axis=0),
+        "warm_next": jnp.moveaxis(u_fin, -1, 0).reshape(bsz, t_len, n_u),
+        "lam": lam_fin.T,
+    }
+    k_ff = jnp.moveaxis(u_fin, -1, 0).reshape(bsz, t_len, n_u)
+    return k_ff, feasible, violation, info
+
+
+def lanes_supported(ssm, cfg: SqpConfig, cost_kind: str) -> bool:
+    """Whether the lane backend covers this configuration."""
+    return (
+        isinstance(ssm, GPSSM)
+        and all(kt == "rbf" for kt in ssm.gp.kern_types)
+        and ssm.gp.precision == "f32"
+        and cfg.n_perf == 0
+        and not cfg.opt_k_fb
+        and cfg.hessian == "gn"
+        and cfg.linesearch == "exact"
+        and cost_kind in ("tracking", "exploration")
+    )
+
+
+def make_sqp_lane_solver(
+    env,
+    k_fb: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    cost_kind: str,
+    cost_args: dict,
+    cfg: SqpConfig,
+) -> Callable:
+    """Batched-planner factory mirroring solvers/sqp.make_sqp_planner, but
+    solving ALL lanes in one lane-major program:
+
+        batch_planner(ssm, x0s (B, n_s), warm (B, n_safe, n_u)[, lam])
+            -> (k_ff (B, n_safe, n_u), feasible (B,), violation (B,), info)
+    """
+    spec = env.spec
+
+    def batch_planner(ssm, x0s, warm, lam=None):
+        return solve_safempc_lanes(
+            ssm, x0s, warm, k_fb, a, b, spec.u_min, spec.u_max,
+            spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+            cost_kind, cost_args, cfg, lam_init=lam,
+        )
+
+    return batch_planner

@@ -1,0 +1,194 @@
+"""Parity of the lane-major batched SQP backend (solvers/sqp_lanes.py)
+against the portable vmapped solver (solvers/sqp.py).
+
+The lane backend re-implements the tube rollout, GP posterior and GN-AL
+machinery batch-last; these tests pin that it computes the SAME math:
+  * lane GP predict == gp_predict_batch / gp_predict_mean_jac;
+  * lane rollout == vmapped multistep_reachability;
+  * the batched solve reaches the same feasibility decisions and
+    equally-good (or better) solutions as the portable solver.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_exploration_tpu.envs import env_step, linearize_discretize, make_pendulum
+from safe_exploration_tpu.models import make_gp_ssm
+from safe_exploration_tpu.models.gp import gp_predict_batch, gp_predict_mean_jac
+from safe_exploration_tpu.ops.linalg import dlqr
+from safe_exploration_tpu.reachability.onestep import multistep_reachability
+from safe_exploration_tpu.solvers.costs import tracking_cost
+from safe_exploration_tpu.solvers.sqp import (
+    SqpConfig,
+    make_sqp_planner,
+    sqp_warm_len,
+)
+from safe_exploration_tpu.solvers.sqp_lanes import (
+    _gp_predict_lanes,
+    _pack_y,
+    _rollout_lanes,
+    lanes_supported,
+    make_sqp_lane_solver,
+)
+
+
+def _make_setup(dtype):
+    env = make_pendulum(dtype=dtype)
+    spec = env.spec
+    a, b = linearize_discretize(env)
+    k_lqr, _ = dlqr(a, b, jnp.eye(spec.n_s, dtype=dtype),
+                    jnp.eye(spec.n_u, dtype=dtype))
+    k_fb = -k_lqr
+
+    key = jax.random.PRNGKey(0)
+    n_data = 48
+    xs = (jax.random.uniform(key, (n_data, 2), dtype, -1.0, 1.0)
+          * jnp.asarray([0.3, 1.0], dtype))
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (n_data, 1), dtype,
+                            -1.0, 1.0)
+    _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+    ssm = make_gp_ssm(
+        ("rbf", "rbf"), xs, us, resid, n_max=64,
+        l_mu=jnp.full((2,), 0.05, dtype), l_sigma=jnp.full((2,), 0.02, dtype),
+        log_noise=-4.0,
+        z_scale=jnp.asarray([0.5, 2.0, 1.0], dtype),
+    )
+    # calibrate signal variance to the ~1e-3-scale residuals (as bench.py and
+    # __graft_entry__ do) so a healthy fraction of random x0s is feasible
+    from safe_exploration_tpu.models.gp import gp_refit
+
+    params = tuple(
+        {**p, "log_sf": jnp.asarray(-3.0, dtype)} for p in ssm.gp.params
+    )
+    ssm = ssm.replace(gp=gp_refit(ssm.gp.replace(params=params)))
+    return env, ssm, k_fb, a, b
+
+
+@pytest.fixture(scope="module")
+def setup():
+    """f64 fixture: exact math parity (f32 noise amplifies ~3x per tube
+    stage through the near-singular variance cancellation — outcome-level
+    f32 checks live in test_lane_solver_matches_portable)."""
+    return _make_setup(jnp.float64)
+
+
+@pytest.fixture(scope="module")
+def setup32():
+    return _make_setup(jnp.float32)
+
+
+def test_lane_gp_predict_parity(setup):
+    _, ssm, _, _, _ = setup
+    key = jax.random.PRNGKey(7)
+    z = jax.random.uniform(key, (16, 3), jnp.float64, -0.5, 0.5)
+    # reference: scale handled inside ssm helpers
+    zz = z / ssm.z_scale
+    mu_ref, var_ref = gp_predict_batch(ssm.gp, zz)
+    mu, var, jac = _gp_predict_lanes(ssm, z.T, want_jac=True)
+    np.testing.assert_allclose(np.asarray(mu.T), np.asarray(mu_ref),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(var.T), np.asarray(var_ref),
+                               rtol=1e-9, atol=1e-13)
+    for i in range(z.shape[0]):
+        _, _, jac_ref = gp_predict_mean_jac(ssm.gp, zz[i])
+        np.testing.assert_allclose(
+            np.asarray(jac[:, :, i]), np.asarray(jac_ref / ssm.z_scale),
+            rtol=1e-9, atol=1e-12,
+        )
+
+
+def test_lane_rollout_parity(setup):
+    _, ssm, k_fb, a, b = setup
+    cfg = SqpConfig(n_safe=5)
+    bsz = 9
+    key = jax.random.PRNGKey(3)
+    x0s = (jax.random.uniform(key, (bsz, 2), jnp.float64, -1.0, 1.0)
+           * jnp.asarray([0.15, 0.4], jnp.float64))
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (bsz, 5, 1),
+                           jnp.float64, -0.5, 0.5)
+
+    k_fb_all = jnp.tile(k_fb[None], (5, 1, 1))
+    p_ref, q_ref, v_ref = jax.vmap(
+        lambda x0, kff: multistep_reachability(ssm, x0, kff, k_fb_all, a, b,
+                                               cfg.c_safety)
+    )(x0s, u)
+
+    s_lift = jnp.concatenate([jnp.eye(2, dtype=jnp.float64), k_fb], axis=0)
+    bmat = s_lift.T @ s_lift
+    x0_rows = [x0s.T[i] for i in range(2)]
+    u_flat = jnp.moveaxis(u.reshape(bsz, 5), 0, -1)
+    y = _pack_y(*_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat))
+    n_s, t = 2, 5
+    p_lane = np.asarray(y[: t * n_s]).reshape(t, n_s, bsz).transpose(2, 0, 1)
+    q_lane = np.asarray(
+        y[t * n_s: t * n_s + t * n_s * n_s]
+    ).reshape(t, n_s, n_s, bsz).transpose(3, 0, 1, 2)
+    v_lane = np.asarray(y[t * n_s + t * n_s * n_s:]).reshape(
+        t, n_s, bsz
+    ).transpose(2, 0, 1)
+    np.testing.assert_allclose(p_lane, np.asarray(p_ref), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(q_lane, np.asarray(q_ref), rtol=1e-8,
+                               atol=1e-12)
+    # var: matmul vs per-point summation order — f64 roundoff ~1e-12
+    np.testing.assert_allclose(v_lane, np.asarray(v_ref), rtol=1e-7,
+                               atol=1e-11)
+
+
+def test_lane_solver_matches_portable(setup32):
+    env, ssm, k_fb, a, b = setup32
+    spec = env.spec
+    cfg = SqpConfig(n_safe=5, c_safety=2.0, n_outer=8, n_inner=3, n_polish=3,
+                    n_rescue_outer=2)
+    cost_fn = tracking_cost(spec.target)
+    planner = make_sqp_planner(env, k_fb, a, b, cost_fn, cfg)
+    assert lanes_supported(ssm, cfg, "tracking")
+    lane_solver = make_sqp_lane_solver(
+        env, k_fb, a, b, "tracking", {"target": spec.target}, cfg
+    )
+
+    bsz = 16
+    key = jax.random.PRNGKey(11)
+    x0s = (jax.random.uniform(key, (bsz, 2), jnp.float32, -1.0, 1.0)
+           * jnp.asarray([0.15, 0.4], jnp.float32))
+    warm = jnp.zeros((bsz, sqp_warm_len(cfg), 1), jnp.float32)
+
+    k_ref, feas_ref, viol_ref, info_ref = jax.jit(jax.vmap(
+        lambda x, w: planner(jax.random.PRNGKey(0), ssm, x, w)
+    ))(x0s, warm)
+    k_lane, feas_lane, viol_lane, info_lane = jax.jit(lane_solver)(
+        ssm, x0s, warm
+    )
+
+    assert k_lane.shape == k_ref.shape
+    assert info_lane["warm_next"].shape == info_ref["warm_next"].shape
+    assert info_lane["lam"].shape == info_ref["lam"].shape
+    # same feasibility DECISIONS on a clear-margin batch; the two backends
+    # use slightly different GN curvature (the lane backend keeps the exact
+    # y-space curvature of the constraint maps), so paths may differ on
+    # knife-edge instances — outcomes must not.
+    feas_ref = np.asarray(feas_ref)
+    feas_lane = np.asarray(feas_lane)
+    agree = (feas_ref == feas_lane).mean()
+    assert agree >= 0.9, (feas_ref, feas_lane)
+    assert feas_lane.mean() >= feas_ref.mean() - 1e-6
+    # feasible lanes end feasible with comparable cost
+    both = feas_ref & feas_lane
+    assert both.any()
+    c_ref = np.asarray(info_ref["cost"])[both]
+    c_lane = np.asarray(info_lane["cost"])[both]
+    assert (c_lane <= c_ref + 0.1 * np.abs(c_ref) + 1e-3).mean() >= 0.8
+
+
+def test_lane_solver_guard_rejects_unsupported(setup):
+    env, ssm, k_fb, a, b = setup
+    cfg = SqpConfig(n_safe=5, n_perf=4)
+    assert not lanes_supported(ssm, cfg, "tracking")
+    lane_solver = make_sqp_lane_solver(env, k_fb, a, b, "tracking", {}, cfg)
+    with pytest.raises(NotImplementedError):
+        lane_solver(ssm, jnp.zeros((2, 2)), jnp.zeros((2, 5, 1)))
