@@ -24,19 +24,23 @@ import jax.numpy as jnp
 
 
 def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype,
-          outer: int = 14, inner: int = 3, polish: int = 6, rescue: int = 4):
+          outer: int = 14, inner: int = 3, polish: int = 6, rescue: int = 4,
+          backend: str = "lanes"):
     from safe_exploration_tpu.envs import env_step
     from safe_exploration_tpu.models import make_gp_ssm
     from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
 
     # Headline budget: GN-AL 14x3 + 6 backtracking polish steps + 4 rescue
-    # outers — measured 0.904 feasibility on this cold-start distribution,
-    # i.e. AT the 25x8 exact-Hessian oracle ceiling (the remaining ~10% of
-    # random x0s are genuinely infeasible tube instances — the fallback
-    # chain's job). Robust across draws (0.904/0.910/0.920 on three keys).
-    # The FAST budget (10x3, reported as fast_solves_per_sec) trades 3pp of
-    # feasibility for ~2x throughput. Both numbers require the package's f32
-    # matmul-precision policy: under TPU's bf16 MXU default the tubes
+    # outers — measured 0.902-0.904 feasibility on this cold-start
+    # distribution, i.e. AT the 25x8 exact-Hessian oracle ceiling (the
+    # remaining ~10% of random x0s are genuinely infeasible tube instances —
+    # the fallback chain's job). The default backend is the LANE-MAJOR solve
+    # (solvers/sqp_lanes, 4.6-5.7x the vmapped path on v5e — batch-last
+    # layout puts lanes in the vector lanes instead of 2x128-tiled 2x2
+    # blocks); backend="portable" keeps the vmapped A/B driver-visible.
+    # The FAST budget (10x3+3, fast_solves_per_sec) trades ~2pp of
+    # feasibility for ~1.5x throughput. All numbers require the package's
+    # f32 matmul-precision policy: under TPU's bf16 MXU default the tubes
     # inflate with variance noise and the apparent ceiling drops to 0.695.
     cfg = ExperimentConfig(
         name="bench", solver="sqp", n_safe=n_safe, n_max=n_max,
@@ -80,16 +84,23 @@ def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype,
     from safe_exploration_tpu.models.ssm import ssm_bucketed
 
     ssm_plan = ssm_bucketed(ssm)
-    solve = jax.jit(jax.vmap(
-        lambda x, w: exp["planner"](jax.random.PRNGKey(0), ssm_plan, x, w)
-    ))
+    if backend == "lanes":
+        # production batched entry: the lane-major backend
+        # (solvers/sqp_lanes via build_experiment's auto-dispatch)
+        bp = exp["batch_planner"]
+        solve = jax.jit(lambda x, w: bp(ssm_plan, x, w))
+    else:
+        solve = jax.jit(jax.vmap(
+            lambda x, w: exp["planner"](jax.random.PRNGKey(0), ssm_plan, x, w)
+        ))
     return solve, ssm, x0s, warm
 
 
 def bench_solves(batch: int, iters: int, n_max: int, n_data: int, n_safe: int,
-                 **budget):
+                 backend: str = "lanes", **budget):
     dtype = jnp.float32
-    solve, ssm, x0s, warm = build(batch, n_max, n_data, n_safe, dtype, **budget)
+    solve, ssm, x0s, warm = build(batch, n_max, n_data, n_safe, dtype,
+                                  backend=backend, **budget)
 
     # compile + warmup
     out = solve(x0s, warm)
@@ -440,14 +451,21 @@ def main():
     solves_per_sec, feasible_frac = bench_solves(
         args.batch, args.iters, args.n_max, args.n_data, args.n_safe
     )
-    # fast budget: 10x3 + 3 polish, no rescue — ~2x the headline throughput
-    # at ~3pp lower cold feasibility (the warm/receding-horizon regime below
-    # is where production actually runs; this row shows the speed ceiling of
-    # a single cold GN-AL pass)
+    # fast budget: 10x3 + 3 polish, no rescue — the speed ceiling of a
+    # single cold GN-AL pass at ~2pp lower cold feasibility
     fast_sps, fast_feas = _safe(
         lambda: bench_solves(
             args.batch, args.iters, args.n_max, args.n_data, args.n_safe,
             outer=10, inner=3, polish=3, rescue=0,
+        ),
+        (nan, nan),
+    )
+    # the vmapped portable solver at the headline budget: the layout A/B
+    # behind the lane backend's 4.6-5.7x (driver-visible evidence)
+    portable_sps, portable_feas = _safe(
+        lambda: bench_solves(
+            args.batch, args.iters, args.n_max, args.n_data, args.n_safe,
+            backend="portable",
         ),
         (nan, nan),
     )
@@ -479,6 +497,8 @@ def main():
         "feasible_solves_per_sec": round(solves_per_sec * feasible_frac, 1),
         "fast_solves_per_sec": round(fast_sps, 1),
         "fast_feasible_frac": round(fast_feas, 3),
+        "portable_solves_per_sec": round(portable_sps, 1),
+        "portable_feasible_frac": round(portable_feas, 3),
         "warm_solves_per_sec": round(warm_sps, 1),
         "warm_feasible_frac": round(warm_feas, 3),
         "gp_refit_chol_ms_n256": round(chol_ms, 3),

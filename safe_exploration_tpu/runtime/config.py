@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from safe_exploration_tpu.envs import (
@@ -181,6 +182,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
 
     n_duals = 0
     dual_shift = None
+    batch_planner = None
     if cfg.solver == "sqp":
         _warn_ignored_knobs(
             cfg, ignored=("cem_samples", "cem_elites", "cem_iterations")
@@ -208,6 +210,34 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         dual_shift = partial(
             shift_duals, n_safe=cfg.n_safe, n_obs=spec.h_obs.shape[0]
         )
+
+        # Batched entry: the lane-major backend (solvers/sqp_lanes — the
+        # TPU-layout-native solve, 4.6-5.7x the vmapped path on v5e) when the
+        # configuration supports it, transparently falling back to vmapping
+        # the portable planner otherwise. Same per-lane results contract.
+        from safe_exploration_tpu.solvers.sqp_lanes import (
+            lanes_supported,
+            make_sqp_lane_solver,
+        )
+
+        cost_args = (
+            {"target": spec.target} if cfg.objective == "tracking" else {}
+        )
+        lane_solver = make_sqp_lane_solver(
+            env, k_fb, a, b, cfg.objective, cost_args, sqp_cfg
+        )
+
+        def batch_planner(ssm, x0s, warm, lam=None):
+            if lanes_supported(ssm, sqp_cfg, cfg.objective):
+                return lane_solver(ssm, x0s, warm, lam)
+            key = jax.random.PRNGKey(0)
+            if lam is None:
+                return jax.vmap(
+                    lambda x, w: planner(key, ssm, x, w)
+                )(x0s, warm)
+            return jax.vmap(
+                lambda x, w, la: planner(key, ssm, x, w, la)
+            )(x0s, warm, lam)
     elif cfg.solver != "cem":
         raise ValueError(f"unknown solver {cfg.solver}")
 
@@ -263,6 +293,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         "init_state": init_state,
         "get_action": get_action,
         "cost_fn": cost_fn,
+        "batch_planner": batch_planner,
         "kern_types": kern_types,
         "make_ssm": make_ssm,
         "l_mu": jnp.full((spec.n_s,), cfg.l_mu, dtype),

@@ -192,3 +192,44 @@ def test_lane_solver_guard_rejects_unsupported(setup):
     lane_solver = make_sqp_lane_solver(env, k_fb, a, b, "tracking", {}, cfg)
     with pytest.raises(NotImplementedError):
         lane_solver(ssm, jnp.zeros((2, 2)), jnp.zeros((2, 5, 1)))
+
+
+def test_batch_planner_auto_dispatch():
+    """build_experiment's batched entry routes to the lane backend when
+    supported and transparently falls back to the vmapped portable planner
+    otherwise (e.g. composite kernels), with the same results contract."""
+    from safe_exploration_tpu.envs import env_step
+    from safe_exploration_tpu.models import make_gp_ssm
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+
+    dtype = jnp.float32
+    cfg = ExperimentConfig(
+        name="lane_dispatch", solver="sqp", n_safe=3, n_max=32,
+        sqp_outer=2, sqp_inner=2, sqp_polish=1,
+    )
+    exp = build_experiment(cfg, dtype=dtype)
+    env, a, b = exp["env"], exp["a"], exp["b"]
+    key = jax.random.PRNGKey(0)
+    xs = (jax.random.uniform(key, (24, 2), dtype, -1.0, 1.0)
+          * jnp.asarray([0.3, 1.0], dtype))
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (24, 1), dtype,
+                            -1.0, 1.0)
+    _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+
+    x0s = jnp.asarray([[0.05, 0.1], [-0.04, -0.1]], dtype)
+    warm = jnp.zeros((2, 3, 1), dtype)
+    for kern in ("rbf", "lin_rbf"):      # lane-supported / fallback
+        ssm = make_gp_ssm(
+            (kern, kern), xs, us, resid, n_max=32,
+            l_mu=jnp.full((2,), 0.05, dtype),
+            l_sigma=jnp.full((2,), 0.02, dtype), log_noise=-4.0,
+        )
+        k_ff, feas, viol, info = exp["batch_planner"](ssm, x0s, warm)
+        assert k_ff.shape == (2, 3, 1)
+        assert feas.shape == (2,) and viol.shape == (2,)
+        assert info["warm_next"].shape == (2, 3, 1)
+        assert bool(jnp.all(jnp.isfinite(viol)))
