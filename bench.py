@@ -126,7 +126,9 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
     regime (reference: IPOPT warm starts per control step, SURVEY.md §2.5).
     Feasibility is reported over the steps AFTER a burn-in (round 1's version
     faked the next state as x0*0.97 without propagating the plant, which made
-    the 'warm' number unrepresentative — VERDICT r1 weak #2).
+    the 'warm' number unrepresentative — VERDICT r1 weak #2). Rides the
+    BATCHED state machine (solvers/safempc.make_safempc_batch over the
+    lane-major solver) — all lanes advance in one program per step.
     """
     from safe_exploration_tpu.envs import env_step
     from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
@@ -143,36 +145,35 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
                          sqp_outer=4, sqp_inner=3),
         dtype=dtype,
     )
-    env, get_action, init_state = exp["env"], exp["get_action"], exp["init_state"]
+    env = exp["env"]
+    init_b, get_b = exp["init_state_batch"], exp["get_action_batch"]
 
     from safe_exploration_tpu.models.ssm import ssm_bucketed
 
     ssm_plan = ssm_bucketed(ssm)
 
-    def rollout(x0, keys):
-        def step(carry, key):
+    def rollout(x0s_, keys):  # keys (n_total, batch, key)
+        def step(carry, keys_t):
             state, x = carry
-            u, state, info = get_action(key, state, ssm_plan, x)
-            _, x1 = env_step(env, key, x, u)
+            u, state, info = get_b(state, ssm_plan, x)
+            _, x1 = jax.vmap(
+                lambda k, xx, uu: env_step(env, k, xx, uu)
+            )(keys_t, x, u)
             return (state, x1), info["feasible"]
 
-        (_, _), feas = jax.lax.scan(step, (init_state(), x0), keys)
-        return feas
+        (_, _), feas = jax.lax.scan(step, (init_b(batch), x0s_), keys)
+        return feas                                       # (n_total, batch)
 
-    roll = jax.jit(jax.vmap(rollout))
+    roll = jax.jit(rollout)
 
     key = jax.random.PRNGKey(3)
-    keys_burn = jax.random.split(key, batch * n_burn).reshape(batch, n_burn, -1)
-    keys_meas = jax.random.split(
-        jax.random.fold_in(key, 1), batch * n_meas
-    ).reshape(batch, n_meas, -1)
+    n_total = n_burn + n_meas
+    keys_all = jax.random.split(key, n_total * batch).reshape(
+        n_total, batch, -1
+    )
 
-    # compile both shapes, then measure the steady-state segment. The burn-in
-    # rollout's final (state, x) is intentionally NOT threaded into the
-    # measured call (scan carry extraction would double compile time); instead
-    # feasibility is measured over a long rollout and the first n_burn steps
-    # are excluded inside the feasibility reduction below.
-    keys_all = jnp.concatenate([keys_burn, keys_meas], axis=1)
+    # compile, then measure; the first n_burn steps are excluded from the
+    # feasibility reduction (steady-state receding-horizon regime)
     feas = roll(x0s, keys_all)
     jax.block_until_ready(feas)
     t0 = time.perf_counter()
@@ -181,9 +182,8 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
         feas = roll(x0s, keys_all)
     jax.block_until_ready(feas)
     dt = time.perf_counter() - t0
-    n_total = n_burn + n_meas
     solves_per_sec = batch * n_total * reps / dt
-    steady_feas = float(jnp.mean(feas[:, n_burn:].astype(jnp.float32)))
+    steady_feas = float(jnp.mean(feas[n_burn:].astype(jnp.float32)))
     return solves_per_sec, steady_feas
 
 

@@ -245,6 +245,14 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         env, mpc_cfg, planner, warm_len=warm_len, n_duals=n_duals,
         dual_shift=dual_shift,
     )
+    init_state_batch = get_action_batch = None
+    if batch_planner is not None:
+        from safe_exploration_tpu.solvers.safempc import make_safempc_batch
+
+        init_state_batch, get_action_batch = make_safempc_batch(
+            env, mpc_cfg, batch_planner, warm_len=warm_len,
+            n_duals=n_duals, dual_shift=dual_shift,
+        )
     kern_types = _kern_tuple(cfg, spec.n_s)
     dtype_ = dtype
 
@@ -294,6 +302,8 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         "get_action": get_action,
         "cost_fn": cost_fn,
         "batch_planner": batch_planner,
+        "init_state_batch": init_state_batch,
+        "get_action_batch": get_action_batch,
         "kern_types": kern_types,
         "make_ssm": make_ssm,
         "l_mu": jnp.full((spec.n_s,), cfg.l_mu, dtype),

@@ -186,3 +186,134 @@ def make_safempc(
         return u, new_state, info
 
     return init_state, get_action, k_fb, (a, b)
+
+
+def make_safempc_batch(
+    env: Env,
+    cfg: SafeMPCConfig,
+    batch_planner: Callable,
+    warm_len: int | None = None,
+    n_duals: int = 0,
+    dual_shift: Callable | None = None,
+):
+    """Batched SafeMPC: the same state machine over B lanes in ONE program.
+
+    ``batch_planner`` is build_experiment's batched entry
+    (``batch_planner(ssm, x0s, warm, lam) -> (k_ff, feasible, violation,
+    info)`` with leading batch dims) — the lane-major SQP backend where
+    supported. The per-lane ``lax.cond`` of :func:`make_safempc` becomes a
+    lane-wise ``where`` (both branches are data, not control); everything
+    else is the portable state machine with a leading batch axis, so the
+    fallback-chain semantics (stored-plan shift -> terminal LQR, n_fail,
+    warm/dual shifts, dual decay on failure) are identical — pinned against
+    the vmapped portable path in tests/test_sqp_lanes.py.
+
+    Returns (init_state_batch, get_action_batch):
+      * ``init_state_batch(batch) -> SafeMPCState`` (leading batch dims)
+      * ``get_action_batch(state, ssm, xs (B, n_s)) -> (u (B, n_u),
+        new_state, info)``
+    """
+    spec = env.spec
+    a, b = linearize_discretize(env)
+    dtype = a.dtype
+    n_s, n_u = spec.n_s, spec.n_u
+    t_len = cfg.n_safe
+    n_warm = t_len if warm_len is None else warm_len
+
+    k_lqr, _ = dlqr(
+        a, b,
+        cfg.lqr_w_x * jnp.eye(n_s, dtype=dtype),
+        cfg.lqr_w_u * jnp.eye(n_u, dtype=dtype),
+    )
+    k_fb = -k_lqr
+
+    def init_state_batch(batch: int) -> SafeMPCState:
+        return SafeMPCState(
+            k_ff_plan=jnp.zeros((batch, t_len, n_u), dtype),
+            p_plan=jnp.zeros((batch, t_len, n_s), dtype),
+            plan_idx=jnp.full((batch,), t_len, jnp.int32),
+            n_fail=jnp.zeros((batch,), jnp.int32),
+            warm_mean=jnp.zeros((batch, n_warm, n_u), dtype),
+            lam=jnp.zeros((batch, n_duals), dtype),
+        )
+
+    def _shift_warm(warm: jax.Array) -> jax.Array:
+        k_ff = warm[:, :t_len]
+        k_ff = jnp.concatenate([k_ff[:, 1:], k_ff[:, -1:]], axis=1)
+        if n_warm > t_len:
+            perf = warm[:, t_len:]
+            perf = jnp.concatenate([perf[:, 1:], perf[:, -1:]], axis=1)
+            return jnp.concatenate([k_ff, perf], axis=1)
+        return k_ff
+
+    def get_action_batch(state: SafeMPCState, ssm, xs: jax.Array):
+        if n_duals > 0:
+            k_ff_new, feasible, violation, pinfo = batch_planner(
+                ssm, xs, state.warm_mean, state.lam
+            )
+            lam_next = pinfo["lam"]
+        else:
+            k_ff_new, feasible, violation, pinfo = batch_planner(
+                ssm, xs, state.warm_mean
+            )
+            lam_next = state.lam
+        warm_next = pinfo.get("warm_next", k_ff_new)
+
+        if "p_traj" in pinfo:
+            p_traj = pinfo["p_traj"]                        # (B, T, n_s)
+        else:
+            k_fb_all = jnp.tile(k_fb[None], (t_len, 1, 1))
+            p_traj, _, _ = jax.vmap(
+                lambda x, kff: multistep_reachability(
+                    ssm, x, kff, k_fb_all, a, b, cfg.c_safety
+                )
+            )(xs, k_ff_new)
+        p_refs = jnp.concatenate([xs[:, None], p_traj[:, :-1]], axis=1)
+
+        feas = feasible[:, None]                            # (B, 1)
+        feas_t = feasible[:, None, None]
+
+        # success branch values
+        u_ok = k_ff_new[:, 0]
+        # failure branch values (stored-plan shift -> terminal LQR)
+        idx = jnp.minimum(state.plan_idx, t_len - 1)
+        have_stored = (state.plan_idx < t_len)[:, None]
+        onehot = (
+            jnp.arange(t_len)[None, :] == idx[:, None]
+        ).astype(dtype)                                     # (B, T)
+        kff_st = jnp.einsum("bt,btu->bu", onehot, state.k_ff_plan)
+        p_st = jnp.einsum("bt,bts->bs", onehot, state.p_plan)
+        u_stored = kff_st + (xs - p_st) @ k_fb.T
+        u_lqr = (xs - spec.target[None]) @ k_fb.T
+        u_fail = jnp.clip(
+            jnp.where(have_stored, u_stored, u_lqr), spec.u_min, spec.u_max
+        )
+
+        u = jnp.where(feas, u_ok, u_fail)
+        shifted_lam = (
+            jax.vmap(dual_shift)(lam_next)
+            if dual_shift is not None else lam_next
+        )
+        new_state = SafeMPCState(
+            k_ff_plan=jnp.where(feas_t, k_ff_new, state.k_ff_plan),
+            p_plan=jnp.where(feas_t, p_refs, state.p_plan),
+            plan_idx=jnp.where(
+                feasible, jnp.asarray(1, jnp.int32),
+                jnp.minimum(state.plan_idx + 1, t_len),
+            ),
+            n_fail=jnp.where(feasible, 0, state.n_fail + 1),
+            warm_mean=jnp.where(
+                feas_t, _shift_warm(warm_next), _shift_warm(state.warm_mean)
+            ),
+            lam=jnp.where(feas, shifted_lam, 0.5 * state.lam),
+        )
+        info = {
+            "feasible": feasible,
+            "violation": violation,
+            "n_fail": new_state.n_fail,
+            "used_fallback": jnp.logical_not(feasible),
+            **pinfo,
+        }
+        return u, new_state, info
+
+    return init_state_batch, get_action_batch

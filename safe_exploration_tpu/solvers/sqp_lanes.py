@@ -528,11 +528,18 @@ def solve_safempc_lanes(
     g_fin = dist(y_fin)
     violation = jnp.sum(jnp.maximum(g_fin, 0.0), axis=0)    # (B,)
     feasible = violation <= cfg.feas_tol
+    # predicted tube centers come free with the final rollout — the SafeMPC
+    # state machine stores them as fallback reference centers (solvers/
+    # safempc.py on_success) without re-rolling the tube
+    p_traj = jnp.moveaxis(y_fin[: t_len * n_s], -1, 0).reshape(
+        bsz, t_len, n_s
+    )
     info = {
         "cost": cost(y_fin, u_fin),
         "max_constraint": jnp.max(g_fin, axis=0),
         "warm_next": jnp.moveaxis(u_fin, -1, 0).reshape(bsz, t_len, n_u),
         "lam": lam_fin.T,
+        "p_traj": p_traj,
     }
     k_ff = jnp.moveaxis(u_fin, -1, 0).reshape(bsz, t_len, n_u)
     return k_ff, feasible, violation, info
