@@ -1,0 +1,341 @@
+"""Per-lane GP state in LANE-MAJOR (batch-last) layout — the model side of the
+lane-major solver backend (solvers/sqp_lanes.py).
+
+WHY. ``runtime/batch.py`` runs B independent online-learning episodes where
+every lane owns an EVOLVING GP. Its storage is the vmap-style stacked pytree
+(leading batch dim), which forces the whole per-step pipeline — SafeMPC solve,
+posterior predicts, incremental appends — through the vmapped portable path
+that the round-3 TPU profile showed is LAYOUT-bound (tiny trailing dims at
+1.5-2% vector-lane utilization; see solvers/sqp_lanes.py module docstring).
+This module stores the per-lane model BATCH-LAST instead:
+
+  * buffers   x (n_max, d_in, B), y (n_max, e, B) — per-lane contents;
+  * factors   beta (e, n_max, B), kinv (e, n_max, n_max, B);
+  * mask / head are SHARED scalars: lanes are created by broadcasting ONE
+    fitted model (:func:`lane_stack_ssm`) and append in LOCKSTEP (one point
+    per env step in every lane), so the active-slot bookkeeping never
+    diverges — per-lane masks would re-introduce (n, B) bookkeeping with no
+    information in it;
+  * hyperparameters are SHARED: episodes append data but never re-fit hypers
+    mid-episode (re-fits happen between episodes through the stacked view,
+    :func:`lane_unstack_ssm`).
+
+Every per-lane quantity is a ``(..., B)`` array, so posterior predicts,
+Jacobians and the O(n^2) incremental append are fully lane-tiled elementwise
+work plus (n, B)/(n, n, B) contractions — the same layout discipline as the
+lane solver, which consumes this state directly (``_gp_predict_lanes``
+dispatches here for :class:`LaneGPSSM`).
+
+The incremental append maintains beta/kinv by the EXACT block-inverse algebra
+of the bordered Gram extension (same update as models/gp.gp_append_point's
+kinv path; beta comes from the same closed form instead of the two
+triangular solves — identical in exact arithmetic, and the f32 drift over an
+episode-length append sequence is pinned against the portable path in
+tests/test_batch_lanes.py). The per-lane Cholesky factor is NOT maintained —
+converting back to the stacked representation re-factorizes (exact, once per
+episode boundary).
+
+Parity: reference ``ssm_gpy/gaussian_process.py::SimpleGPModel`` buffers +
+``update_model`` (SURVEY.md §2.3) — per-episode-lane instead of global, and
+RBF-only (the lane backend's production configuration; composite kernels ride
+the stacked/vmapped path).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from safe_exploration_tpu.models import gp as gp_mod
+from safe_exploration_tpu.models.ssm import GPSSM
+
+__all__ = [
+    "LaneGP",
+    "LaneGPSSM",
+    "lane_stack_ssm",
+    "lane_unstack_ssm",
+    "lane_predict",
+    "lane_append_point",
+    "lane_sharding_tree",
+]
+
+_JITTER = gp_mod._JITTER
+
+
+@struct.dataclass
+class LaneGP:
+    """B independent per-lane GPs, batch-LAST (see module docstring)."""
+
+    kern_types: tuple = struct.field(pytree_node=False)  # (e,) — all "rbf"
+    x: jax.Array        # (n_max, d_in, B) padded per-lane training inputs
+    y: jax.Array        # (n_max, e, B) padded per-lane targets
+    mask: jax.Array     # (n_max,) SHARED validity mask (lockstep appends)
+    params: tuple       # SHARED per-dim kernel param dicts
+    log_noise: jax.Array  # (e,) SHARED log observation-noise std
+    beta: jax.Array     # (e, n_max, B) K^{-1}(m*y) per lane
+    kinv: jax.Array     # (e, n_max, n_max, B) K^{-1} per lane
+    head: jax.Array     # () int32 SHARED write pointer
+    precision: str = struct.field(pytree_node=False, default="f32")
+
+    @property
+    def n_max(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_out(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def n_lanes(self) -> int:
+        return self.x.shape[-1]
+
+    @property
+    def n_points(self) -> jax.Array:
+        return jnp.sum(self.mask).astype(jnp.int32)
+
+
+@struct.dataclass
+class LaneGPSSM:
+    """Per-lane GP-SSM: the lane-major counterpart of models/ssm.GPSSM.
+
+    Satisfies the subset of the SSM seam the lane solver consumes (RBF GP,
+    shared Lipschitz constants / normalization across lanes).
+    """
+
+    gp: LaneGP
+    l_mu: jax.Array     # (n_s,) SHARED
+    l_sigma: jax.Array  # (n_s,) SHARED
+    z_scale: jax.Array | None = None  # (d_in,) or None
+
+
+def lane_stack_ssm(ssm: GPSSM, batch: int) -> LaneGPSSM:
+    """Broadcast ONE fitted GP-SSM into B lane-major per-lane copies.
+
+    The lane-major counterpart of runtime/batch.stack_ssm: each lane then
+    evolves its own buffers/factors via :func:`lane_append_point`.
+    """
+    gp = ssm.gp
+    if any(kt != "rbf" for kt in gp.kern_types):
+        raise NotImplementedError(
+            "lane-major per-lane GPs cover the production RBF configuration; "
+            f"got kern_types={gp.kern_types} — use runtime/batch.stack_ssm"
+        )
+
+    def lanes(arr):
+        return jnp.broadcast_to(arr[..., None], arr.shape + (batch,))
+
+    lane_gp = LaneGP(
+        kern_types=gp.kern_types,
+        x=lanes(gp.x),
+        y=lanes(gp.y),
+        mask=gp.mask,
+        params=gp.params,
+        log_noise=gp.log_noise,
+        beta=lanes(gp.beta),
+        kinv=lanes(gp.kinv),
+        head=gp.head,
+        precision=gp.precision,
+    )
+    return LaneGPSSM(
+        gp=lane_gp, l_mu=ssm.l_mu, l_sigma=ssm.l_sigma, z_scale=ssm.z_scale
+    )
+
+
+def lane_unstack_ssm(lssm: LaneGPSSM) -> GPSSM:
+    """Lane-major per-lane state -> the vmap-style STACKED GPSSM pytree
+    (leading batch dim on every leaf, as runtime/batch.stack_ssm produces).
+
+    Used at episode boundaries (per-lane hyperopt, checkpointing, handing
+    lanes to stacked-path consumers). The per-lane Cholesky factor is not
+    maintained lane-major, so this re-factorizes each lane via a vmapped
+    ``gp_refit`` — exact, O(n^3) once per episode, outside the hot loop.
+    """
+    gp = lssm.gp
+    b = gp.n_lanes
+
+    def stack_shared(arr):
+        return jnp.broadcast_to(arr[None], (b,) + arr.shape)
+
+    base = gp_mod.GP(
+        kern_types=gp.kern_types,
+        x=jnp.moveaxis(gp.x, -1, 0),
+        y=jnp.moveaxis(gp.y, -1, 0),
+        mask=stack_shared(gp.mask),
+        params=jax.tree.map(stack_shared, gp.params),
+        log_noise=stack_shared(gp.log_noise),
+        # placeholder factors — gp_refit rebuilds chol/beta/kinv from data
+        chol=jnp.moveaxis(gp.kinv, -1, 0),
+        beta=jnp.moveaxis(gp.beta, -1, 0),
+        kinv=jnp.moveaxis(gp.kinv, -1, 0),
+        head=stack_shared(gp.head),
+        precision=gp.precision,
+    )
+    stacked_gp = jax.vmap(gp_mod.gp_refit)(base)
+    return GPSSM(
+        gp=stacked_gp,
+        l_mu=stack_shared(lssm.l_mu),
+        l_sigma=stack_shared(lssm.l_sigma),
+        z_scale=(
+            None if lssm.z_scale is None else stack_shared(lssm.z_scale)
+        ),
+    )
+
+
+def lane_predict(lssm: LaneGPSSM, z: jax.Array, *, want_jac: bool = False):
+    """Posterior mean/var (+ closed-form mean Jacobian) of B per-lane GPs at
+    B query lanes — every lane queries ITS OWN model.
+
+    ``z``: (d_in, B) RAW inputs, lane-last. Mirrors models/gp._predict_dim +
+    gp_predict_mean_jac (incl. the conditioning-aware variance floor) and the
+    z_scale chain rule, with per-lane buffers: the cross-covariance and its
+    derivative are unrolled over the tiny d_in so everything stays (n, B)
+    lane-tiled; the variance quadratic form is one (n, n, B) x (n, B)
+    batched contraction per output dim.
+
+    Returns (mu (e, B), var (e, B)[, jac (e, d_in, B)]).
+    """
+    gp = lssm.gp
+    zz = z if lssm.z_scale is None else z / lssm.z_scale[:, None]
+    eps = jnp.finfo(zz.dtype).eps
+    d_in = zz.shape[0]
+    mus, vars_, jacs = [], [], []
+    for d in range(gp.n_out):
+        params = gp.params[d]
+        ls = jnp.exp(params["log_lengthscales"])            # (d_in,)
+        sf2 = jnp.exp(2.0 * params["log_sf"])
+        # squared Mahalanobis distance of the lane query to ITS buffer,
+        # unrolled over d_in: d2[n, b] = sum_j ((x[n,j,b] - z[j,b]) / ls_j)^2
+        d2 = sum(
+            ((gp.x[:, j, :] - zz[j][None, :]) / ls[j]) ** 2
+            for j in range(d_in)
+        )                                                   # (n, B)
+        kv = sf2 * jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * gp.mask[:, None]
+        mus.append(jnp.sum(gp.beta[d] * kv, axis=0))        # (B,)
+        kzz = sf2
+        floor = jnp.maximum(8.0 * eps * kzz, 1e-12)
+        kiv = jnp.einsum("ijb,jb->ib", gp.kinv[d], kv)      # (n, B)
+        vars_.append(jnp.maximum(kzz - jnp.sum(kv * kiv, axis=0), floor))
+        if want_jac:
+            # closed form (kernels.weighted_mean_jac, rbf branch):
+            # dmu/dz_j = sum_n w_n (x[n,j] - z_j) / ls_j^2, w = kv * beta
+            w = kv * gp.beta[d]                             # (n, B)
+            sum_w = jnp.sum(w, axis=0)                      # (B,)
+            jac = jnp.stack([
+                (jnp.sum(gp.x[:, j, :] * w, axis=0) - zz[j] * sum_w)
+                / (ls[j] * ls[j])
+                for j in range(d_in)
+            ])                                              # (d_in, B)
+            if lssm.z_scale is not None:
+                jac = jac / lssm.z_scale[:, None]
+            jacs.append(jac)
+    mu = jnp.stack(mus)
+    var = jnp.stack(vars_)
+    if want_jac:
+        return mu, var, jnp.stack(jacs)
+    return mu, var
+
+
+def lane_append_point(
+    lssm: LaneGPSSM, x: jax.Array, u: jax.Array, y: jax.Array
+) -> LaneGPSSM:
+    """O(n^2)-per-lane incremental append of ONE transition to EVERY lane's
+    own GP — the lane-major counterpart of models/ssm.ssm_append_point ->
+    gp_append_point.
+
+    Args (runner layout, leading batch): x (B, n_s), u (B, n_u), y (B, e).
+    Owns the z_scale normalization (ADVICE r2 high). Lanes append in
+    lockstep into the SHARED slot; on a full buffer the append is a gated
+    no-op for every lane (same saturation contract as gp_append_point —
+    runtime/batch rejects overflowing schedules host-side).
+
+    The update is the exact block-inverse of the bordered Gram extension:
+    with w = K^{-1} kv and Schur complement S = k_nn + sigma_n^2 + jitter -
+    kv^T w, the new inverse is [[K^{-1} + w w^T / S, -w / S], [-w^T/S, 1/S]]
+    and the new beta follows in O(n) as beta + w c / -c with
+    c = (kv^T beta - y_n) / S. kv is masked by the OLD mask and K^{-1} is
+    identity on padding, so w vanishes on every inactive slot — padding rows
+    stay untouched, exactly as in gp_append_point.
+    """
+    gp = lssm.gp
+    z = jnp.concatenate([x, u], axis=-1).T                  # (d_in, B)
+    if lssm.z_scale is not None:
+        z = z / lssm.z_scale[:, None]
+    y_t = y.T                                               # (e, B)
+    d_in = z.shape[0]
+
+    has_room = gp.head < gp.n_max
+    slot = jnp.minimum(gp.head, gp.n_max - 1)
+    row_sel = jnp.arange(gp.n_max) == slot                  # (n,)
+
+    def gated(new, old):
+        return jnp.where(has_room, new, old)
+
+    x_buf = gp.x.at[slot].set(gated(z, gp.x[slot]))
+    y_buf = gp.y.at[slot].set(gated(y_t, gp.y[slot]))
+    mask = gp.mask.at[slot].set(gated(1.0, gp.mask[slot]))
+
+    betas, kinvs = [], []
+    for d in range(gp.n_out):
+        params = gp.params[d]
+        ls = jnp.exp(params["log_lengthscales"])
+        sf2 = jnp.exp(2.0 * params["log_sf"])
+        noise_var = jnp.exp(2.0 * gp.log_noise[d])
+        # cross-covariance of the new point vs existing actives (OLD mask
+        # zeroes the slot row, so writing x first is safe — as in
+        # gp_append_point)
+        d2 = sum(
+            ((x_buf[:, j, :] - z[j][None, :]) / ls[j]) ** 2
+            for j in range(d_in)
+        )
+        kv = sf2 * jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * gp.mask[:, None]
+        w = jnp.einsum("ijb,jb->ib", gp.kinv[d], kv)        # (n, B)
+        knn = sf2                                           # rbf kernel diag
+        schur = jnp.maximum(
+            knn + noise_var + _JITTER - jnp.sum(kv * w, axis=0), _JITTER
+        )                                                   # (B,)
+        c = (jnp.sum(kv * gp.beta[d], axis=0) - y_t[d]) / schur
+        new_beta = gp.beta[d] + w * c[None, :]
+        new_beta = new_beta.at[slot].set(-c)
+        new_kinv = gp.kinv[d] + (
+            w[:, None, :] * w[None, :, :] / schur[None, None, :]
+        )
+        slot_vec = jnp.where(
+            row_sel[:, None], 1.0 / schur[None, :], -w / schur[None, :]
+        )                                                   # (n, B)
+        new_kinv = new_kinv.at[slot, :, :].set(slot_vec)
+        new_kinv = new_kinv.at[:, slot, :].set(slot_vec)
+        betas.append(gated(new_beta, gp.beta[d]))
+        kinvs.append(gated(new_kinv, gp.kinv[d]))
+
+    new_gp = gp.replace(
+        x=x_buf, y=y_buf, mask=mask,
+        beta=jnp.stack(betas), kinv=jnp.stack(kinvs),
+        head=jnp.minimum(gp.head + 1, gp.n_max),
+    )
+    return lssm.replace(gp=new_gp)
+
+
+def lane_sharding_tree(mesh, lssm: LaneGPSSM, axis_name: str):
+    """A LaneGPSSM-shaped pytree of NamedShardings: per-lane leaves (x, y,
+    beta, kinv — batch-LAST) shard their last axis over ``axis_name``;
+    shared leaves (mask, hypers, Lipschitz constants, head) replicate.
+
+    The lane axis is embarrassingly parallel (zero collectives), so this is
+    pure data parallelism over episodes — SURVEY.md §2.9.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    lane_fields = {"x", "y", "beta", "kinv"}
+
+    def per_leaf(path, leaf):
+        names = {
+            p.name for p in path if isinstance(p, jax.tree_util.GetAttrKey)
+        }
+        if names & lane_fields:
+            return NamedSharding(
+                mesh, P(*([None] * (leaf.ndim - 1) + [axis_name]))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(per_leaf, lssm)

@@ -183,6 +183,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
     n_duals = 0
     dual_shift = None
     batch_planner = None
+    lane_batch_supported = None
     if cfg.solver == "sqp":
         _warn_ignored_knobs(
             cfg, ignored=("cem_samples", "cem_elites", "cem_iterations")
@@ -230,6 +231,15 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         def batch_planner(ssm, x0s, warm, lam=None):
             if lanes_supported(ssm, sqp_cfg, cfg.objective):
                 return lane_solver(ssm, x0s, warm, lam)
+            from safe_exploration_tpu.models.gp_lanes import LaneGPSSM
+
+            if isinstance(ssm, LaneGPSSM):
+                raise TypeError(
+                    "per-lane (LaneGPSSM) models require the lane backend; "
+                    "this solver configuration is unsupported there "
+                    "(opt_k_fb/non-GN/composite kernels) — use the "
+                    "stacked runtime/batch.run_batched_episodes path"
+                )
             key = jax.random.PRNGKey(0)
             if lam is None:
                 return jax.vmap(
@@ -238,6 +248,13 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
             return jax.vmap(
                 lambda x, w, la: planner(key, ssm, x, w, la)
             )(x0s, warm, lam)
+
+        def lane_batch_supported(ssm):
+            """Whether the batched entries (planner AND episode runner) ride
+            the lane-major backend for this model — runtime/main's batch task
+            uses it to pick run_batched_episodes_lanes over the vmapped
+            runner."""
+            return lanes_supported(ssm, sqp_cfg, cfg.objective)
     elif cfg.solver != "cem":
         raise ValueError(f"unknown solver {cfg.solver}")
 
@@ -304,6 +321,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         "batch_planner": batch_planner,
         "init_state_batch": init_state_batch,
         "get_action_batch": get_action_batch,
+        "lane_batch_supported": lane_batch_supported,
         "kern_types": kern_types,
         "make_ssm": make_ssm,
         "l_mu": jnp.full((spec.n_s,), cfg.l_mu, dtype),
@@ -362,6 +380,17 @@ register_config(
         name="pendulum_batch", task="batch", batch_lanes=256, n_safe=3,
         n_max=128, n_steps=20, n_init_samples=24,
         cem_samples=64, cem_elites=12, cem_iterations=4,
+    )
+)
+# config 3 on the NLP path: the lane-major production pipeline — per-lane
+# LaneGPSSM buffers, the batched SafeMPC state machine and the lane-major
+# SQP in ONE program per step (runtime/batch.run_batched_episodes_lanes;
+# runtime/main routes here via lane_batch_supported)
+register_config(
+    ExperimentConfig(
+        name="pendulum_batch_sqp", task="batch", solver="sqp",
+        batch_lanes=256, n_safe=3, n_max=128, n_steps=20, n_init_samples=24,
+        sqp_outer=4, sqp_inner=3,
     )
 )
 # BASELINE.json config 2: cart-pole, H=10, performance trajectory

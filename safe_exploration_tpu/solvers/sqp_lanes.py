@@ -23,9 +23,10 @@ This backend instead writes the whole solve BATCH-LAST by construction:
 A representative 5-stage tube chain measures **8.5x faster** in this form
 than the vmapped form on TPU v5e (chain-differenced, see bench.py). The
 backend covers the production cold/warm solve configuration (uniform-RBF
-GP-SSM, GN Hessian, exact line search, no perf trajectory, fixed feedback
-gains) and falls back to the portable path otherwise; parity with
-``solve_safempc_nlp`` is pinned in tests/test_sqp_lanes.py.
+GP-SSM, GN Hessian, exact line search, fixed feedback gains; with or
+without a joint performance trajectory) and falls back to the portable
+path otherwise; parity with ``solve_safempc_nlp`` is pinned in
+tests/test_sqp_lanes.py.
 
 Parity: reference ``safempc_simple.py::SimpleSafeMPC`` solve path +
 IPOPT/MUMPS (SURVEY.md §2.5, §3.3) — same NLP, same augmented-Lagrangian /
@@ -39,6 +40,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from safe_exploration_tpu.models.gp_lanes import LaneGPSSM, lane_predict
 from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.solvers.sqp import SqpConfig, _solve_spd_unrolled
 
@@ -84,7 +86,13 @@ def _gp_predict_lanes(ssm: GPSSM, z: jax.Array, *, want_jac: bool):
     rule, with every contraction shaped (n, B) — MXU-tiled matmuls.
 
     Returns (mu (e, B), var (e, B)[, jac (e, d_in, B)]).
+
+    For a :class:`LaneGPSSM` (per-lane evolving models, runtime/batch lane
+    episodes) each lane queries ITS OWN posterior — dispatched to
+    models/gp_lanes.lane_predict, same contract.
     """
+    if isinstance(ssm, LaneGPSSM):
+        return lane_predict(ssm, z, want_jac=want_jac)
     gp = ssm.gp
     zz = z if ssm.z_scale is None else z / ssm.z_scale[:, None]
     eps = jnp.finfo(zz.dtype).eps
@@ -250,7 +258,49 @@ def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     return p_traj, q_traj, var_traj
 
 
-def _pack_y(p_traj, q_traj, var_traj):
+def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len):
+    """Performance-trajectory stages, lane-major.
+
+    Mirrors reachability/propagation.multi_step_propagation under the lane
+    backend's cost contract: the supported objectives (tracking/exploration,
+    _cost_lanes) read only the stage means and GP variances — the input-
+    covariance recursion that distinguishes ``taylor`` from
+    ``mean_equivalent`` feeds NEITHER (sigma never re-enters the mean or the
+    var, and the stock costs ignore it, exactly as in the portable
+    cost_small), so it is skipped here: both methods produce identical
+    results for these costs, and that identity is what the parity test pins.
+
+    Stage controls: the first ``r`` are SHARED with the safety tube
+    (k_ff[:r]); the rest come from the free perf block at the tail of
+    ``u_flat`` — the reference's joint safety+performance NLP layout
+    (``safempc_simple.py``, SURVEY.md §2.5).
+    """
+    n_s = len(x0)
+    a_rows = _const_rows(a)
+    b_rows = _const_rows(b)
+
+    def u_at(t):
+        base = t * n_u if t < r else t_len * n_u + (t - r) * n_u
+        return [u_flat[base + i] for i in range(n_u)]
+
+    p = list(x0)
+    p_perf, var_perf = [], []
+    for t in range(cfg.n_perf):
+        ut = u_at(t)
+        z = jnp.stack(p + ut)
+        mu, var = _gp_predict_lanes(ssm, z, want_jac=False)
+        p = [
+            sum(a_rows[i][j] * p[j] for j in range(n_s))
+            + sum(b_rows[i][k] * ut[k] for k in range(n_u))
+            + mu[i]
+            for i in range(n_s)
+        ]
+        p_perf.append(p)
+        var_perf.append([var[i] for i in range(n_s)])
+    return p_perf, var_perf
+
+
+def _pack_y(p_traj, q_traj, var_traj, perf=None):
     parts = []
     for p in p_traj:
         parts += p
@@ -259,10 +309,16 @@ def _pack_y(p_traj, q_traj, var_traj):
             parts += row
     for v in var_traj:
         parts += v
+    if perf is not None:
+        p_perf, var_perf = perf
+        for p in p_perf:
+            parts += p
+        for v in var_perf:
+            parts += v
     return jnp.stack(parts)                                # (ny, B)
 
 
-def _unpack_y(y, t_len, n_s):
+def _unpack_y(y, t_len, n_s, n_perf=0):
     idx = 0
     p_traj, q_traj, var_traj = [], [], []
     for _ in range(t_len):
@@ -275,7 +331,16 @@ def _unpack_y(y, t_len, n_s):
     for _ in range(t_len):
         var_traj.append([y[idx + i] for i in range(n_s)])
         idx += n_s
-    return p_traj, q_traj, var_traj
+    if n_perf == 0:
+        return p_traj, q_traj, var_traj
+    p_perf, var_perf = [], []
+    for _ in range(n_perf):
+        p_perf.append([y[idx + i] for i in range(n_s)])
+        idx += n_s
+    for _ in range(n_perf):
+        var_perf.append([y[idx + i] for i in range(n_s)])
+        idx += n_s
+    return p_traj, q_traj, var_traj, (p_perf, var_perf)
 
 
 def _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs, h_mat_safe, h_safe):
@@ -303,26 +368,41 @@ def _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs, h_mat_safe, h_safe):
     return jnp.stack(rows)                                 # (n_con, B)
 
 
-def _cost_lanes(cost_kind: str, cost_args: dict, y, u_flat, t_len, n_s, n_u):
-    """Lane forms of the stock objectives (solvers/costs.py) -> (B,)."""
-    p_traj, q_traj, var_traj = _unpack_y(y, t_len, n_s)
+def _cost_lanes(cost_kind: str, cost_args: dict, y, u_flat, t_len, n_s, n_u,
+                n_perf=0, r=0):
+    """Lane forms of the stock objectives (solvers/costs.py) -> (B,).
+
+    With ``n_perf > 0`` the objective rides the performance trajectory
+    (stage means/variances from the perf blocks of ``y``; the control
+    penalty over u_perf_all = shared k_ff[:r] + free perf controls) — the
+    portable cost_small contract (solvers/sqp._build_constraint_fn)."""
+    if n_perf > 0:
+        *_, (p_cost, var_cost) = _unpack_y(y, t_len, n_s, n_perf)
+        ctrl_idx = [t * n_u + k for t in range(r) for k in range(n_u)] + [
+            t_len * n_u + m for m in range((n_perf - r) * n_u)
+        ]
+        t_cost = n_perf
+    else:
+        p_cost, q_traj, var_cost = _unpack_y(y, t_len, n_s)
+        ctrl_idx = [t * n_u + k for t in range(t_len) for k in range(n_u)]
+        t_cost = t_len
     if cost_kind == "tracking":
         target = cost_args["target"]
         w_x = cost_args.get("w_x", 1.0)
         w_u = cost_args.get("w_u", 0.1)
         w_t = cost_args.get("w_terminal", 5.0)
         stage = sum(
-            (p_traj[t][i] - target[i]) ** 2
-            for t in range(t_len - 1) for i in range(n_s)
+            (p_cost[t][i] - target[i]) ** 2
+            for t in range(t_cost - 1) for i in range(n_s)
         )
-        ctrl = sum(u_flat[t * n_u + k] ** 2
-                   for t in range(t_len) for k in range(n_u))
-        term = sum((p_traj[-1][i] - target[i]) ** 2 for i in range(n_s))
+        ctrl = sum(u_flat[m] ** 2 for m in ctrl_idx)
+        term = sum((p_cost[-1][i] - target[i]) ** 2 for i in range(n_s))
         return w_x * stage + w_u * ctrl + w_t * term
     if cost_kind == "exploration":
         scale = cost_args.get("scale", 1.0)
         return -scale * sum(
-            jnp.sqrt(var_traj[t][i]) for t in range(t_len) for i in range(n_s)
+            jnp.sqrt(var_cost[t][i]) for t in range(t_cost)
+            for i in range(n_s)
         )
     raise ValueError(f"lane backend has no cost '{cost_kind}'")
 
@@ -378,9 +458,9 @@ def solve_safempc_lanes(
     lam (B, n_con)} — same contract as the portable solver, so runners and
     bench can swap backends. Parity pinned in tests/test_sqp_lanes.py.
     """
-    if cfg.n_perf > 0 or cfg.opt_k_fb or cfg.hessian != "gn":
+    if cfg.opt_k_fb or cfg.hessian != "gn":
         raise NotImplementedError(
-            "lane backend covers the production n_perf=0 / fixed-k_fb / GN "
+            "lane backend covers the production fixed-k_fb / GN "
             "configuration; use solvers/sqp.py otherwise"
         )
     t_len = cfg.n_safe
@@ -388,13 +468,17 @@ def solve_safempc_lanes(
     n_s = x0s.shape[1]
     bsz = x0s.shape[0]
     dtype = x0s.dtype
-    n_var = t_len * n_u
+    # joint safety+performance decision vector, portable layout
+    # (solvers/sqp._build_constraint_fn): [k_ff (t_len) | u_perf_free]
+    r = min(cfg.r_shared, t_len, cfg.n_perf) if cfg.n_perf > 0 else 0
+    t_total = t_len + (cfg.n_perf - r if cfg.n_perf > 0 else 0)
+    n_var = t_total * n_u
     n_con = t_len * h_obs.shape[0] + h_safe.shape[0]
 
     x0 = x0s.T                                              # (n_s, B)
     u0 = jnp.moveaxis(u_init.reshape(bsz, n_var), 0, -1)    # (n_var, B)
-    lo = jnp.tile(u_min, t_len)[:, None]
-    hi = jnp.tile(u_max, t_len)[:, None]
+    lo = jnp.tile(u_min, t_total)[:, None]
+    hi = jnp.tile(u_max, t_total)[:, None]
     lam0 = (
         jnp.zeros((n_con, bsz), dtype) if lam_init is None else lam_init.T
     )
@@ -404,15 +488,21 @@ def solve_safempc_lanes(
     x0_rows = [x0[i] for i in range(n_s)]
 
     def rollout_y(u_flat):
+        perf = (
+            _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, cfg, r, n_u,
+                                t_len)
+            if cfg.n_perf > 0 else None
+        )
         return _pack_y(*_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b,
-                                       cfg, bmat))
+                                       cfg, bmat), perf=perf)
 
     def dist(y):
         return _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs,
                            h_mat_safe, h_safe)
 
     def cost(y, u_flat):
-        return _cost_lanes(cost_kind, cost_args, y, u_flat, t_len, n_s, n_u)
+        return _cost_lanes(cost_kind, cost_args, y, u_flat, t_len, n_s, n_u,
+                           n_perf=cfg.n_perf, r=r)
 
     def al_of(y, u, lam, mu):
         g = dist(y)
@@ -534,27 +624,31 @@ def solve_safempc_lanes(
     p_traj = jnp.moveaxis(y_fin[: t_len * n_s], -1, 0).reshape(
         bsz, t_len, n_s
     )
+    u_mat = jnp.moveaxis(u_fin, -1, 0).reshape(bsz, t_total, n_u)
     info = {
         "cost": cost(y_fin, u_fin),
         "max_constraint": jnp.max(g_fin, axis=0),
-        "warm_next": jnp.moveaxis(u_fin, -1, 0).reshape(bsz, t_len, n_u),
+        "warm_next": u_mat,
         "lam": lam_fin.T,
         "p_traj": p_traj,
     }
-    k_ff = jnp.moveaxis(u_fin, -1, 0).reshape(bsz, t_len, n_u)
-    return k_ff, feasible, violation, info
+    # safety block only — the full decision matrix rides warm_next (the
+    # portable solve_safempc_nlp return contract)
+    return u_mat[:, :t_len], feasible, violation, info
 
 
 def lanes_supported(ssm, cfg: SqpConfig, cost_kind: str) -> bool:
-    """Whether the lane backend covers this configuration."""
+    """Whether the lane backend covers this configuration. ``ssm`` may be a
+    shared GPSSM (one model, B initial states) or a LaneGPSSM (B per-lane
+    models — the batched online-learning episodes of runtime/batch)."""
     return (
-        isinstance(ssm, GPSSM)
+        isinstance(ssm, (GPSSM, LaneGPSSM))
         and all(kt == "rbf" for kt in ssm.gp.kern_types)
         and ssm.gp.precision == "f32"
-        and cfg.n_perf == 0
         and not cfg.opt_k_fb
         and cfg.hessian == "gn"
         and cfg.linesearch == "exact"
+        and cfg.perf_method in ("taylor", "mean_equivalent")
         and cost_kind in ("tracking", "exploration")
     )
 
