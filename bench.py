@@ -187,6 +187,70 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
     return solves_per_sec, steady_feas
 
 
+def bench_batched_episodes(batch: int = 256, n_steps: int = 16,
+                           n_data: int = 48, n_max: int = 64,
+                           backend: str = "lanes"):
+    """BASELINE config 3 regime: B independent ONLINE-LEARNING episodes —
+    per step every lane plans (SafeMPC state machine), steps its own plant
+    and appends the observed transition to ITS OWN GP (O(n^2) incremental).
+
+    backend="lanes" is the lane-major path (per-lane LaneGPSSM buffers +
+    lane SQP, runtime/batch.run_batched_episodes_lanes); "vmapped" is the
+    portable stacked-pytree runner — the layout A/B for the ONLINE-learning
+    loop (the cold/warm rows above hold the model fixed).
+    Returns (env_steps_per_sec, feasible_frac).
+    """
+    from safe_exploration_tpu.runtime.batch import (
+        run_batched_episodes,
+        run_batched_episodes_lanes,
+        stack_ssm,
+    )
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+
+    dtype = jnp.float32
+    _, ssm, x0s, _ = build(batch, n_max, n_data, 5, dtype)
+    # steady-state per-step budget (the warm-solve regime: each lane re-plans
+    # from its shifted warm start every step)
+    exp = build_experiment(
+        ExperimentConfig(name="bepi", solver="sqp", n_safe=5, n_max=n_max,
+                         sqp_outer=4, sqp_inner=3),
+        dtype=dtype,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), batch)
+
+    if backend == "lanes":
+        from safe_exploration_tpu.models.gp_lanes import lane_stack_ssm
+
+        def run():
+            return run_batched_episodes_lanes(
+                exp["env"], exp["get_action_batch"],
+                exp["init_state_batch"], lane_stack_ssm(ssm, batch),
+                x0s, keys, n_steps, exp["a"], exp["b"],
+            )
+    else:
+        def run():
+            return run_batched_episodes(
+                exp["env"], exp["get_action"], exp["init_state"],
+                stack_ssm(ssm, batch), x0s, keys, n_steps,
+                exp["a"], exp["b"],
+            )
+
+    traj, _ = run()                                   # compile + warmup
+    jax.block_until_ready(traj)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        traj, _ = run()
+    jax.block_until_ready(traj)
+    dt = time.perf_counter() - t0
+    steps_per_sec = batch * n_steps * reps / dt
+    feas = float(jnp.mean(traj["feasible"].astype(jnp.float32)))
+    return steps_per_sec, feas
+
+
 def _best_of(f, rounds: int = 3, reps: int = 50) -> float:
     """min-of-rounds mean latency (ms): sub-ms kernels over the host tunnel
     jitter 2-3x run-to-run; the minimum round is the least-contended one."""
@@ -474,6 +538,12 @@ def main():
         ),
         (nan, nan),
     )
+    # ONLINE-learning batched episodes (BASELINE config 3): per-lane evolving
+    # GPs — lane-major vs vmapped-stacked layout A/B
+    bepi_sps, bepi_feas = _safe(lambda: bench_batched_episodes(), (nan, nan))
+    bepi_v_sps, bepi_v_feas = _safe(
+        lambda: bench_batched_episodes(backend="vmapped"), (nan, nan)
+    )
     chol_ms, pred_ms = _safe(bench_gp_latency, (nan, nan))
     sgp_refit_ms, sgp_pred_us = _safe(bench_large_gp, (nan, nan))
     chol_tier = _safe(bench_pallas_chol, {"pallas": nan, "xla": nan})
@@ -500,6 +570,10 @@ def main():
         "portable_feasible_frac": round(portable_feas, 3),
         "warm_solves_per_sec": round(warm_sps, 1),
         "warm_feasible_frac": round(warm_feas, 3),
+        "batch_episode_steps_per_sec": round(bepi_sps, 1),
+        "batch_episode_feasible_frac": round(bepi_feas, 3),
+        "batch_episode_steps_per_sec_vmapped": round(bepi_v_sps, 1),
+        "batch_episode_feasible_frac_vmapped": round(bepi_v_feas, 3),
         "gp_refit_chol_ms_n256": round(chol_ms, 3),
         "gp_predict_jac_ms_n256": round(pred_ms, 3),
         "sparse_gp_refit_ms_n10k_m256": round(sgp_refit_ms, 3),

@@ -26,7 +26,7 @@ from safe_exploration_tpu.envs.base import Env, env_step
 from safe_exploration_tpu.models.ssm import GPSSM, ssm_append_point, ssm_predict
 from safe_exploration_tpu.parallel.mesh import EPISODE_AXIS
 
-__all__ = ["stack_ssm", "run_batched_episodes"]
+__all__ = ["stack_ssm", "run_batched_episodes", "run_batched_episodes_lanes"]
 
 
 def stack_ssm(ssm: GPSSM, batch: int) -> GPSSM:
@@ -116,4 +116,116 @@ def run_batched_episodes(
         traj, ssm_fin, _ = fn(*args)
     else:
         traj, ssm_fin, _ = jax.jit(fn)(keys, ssm_batch, x0s)
+    return traj, ssm_fin
+
+
+def run_batched_episodes_lanes(
+    env: Env,
+    get_action_batch: Callable,
+    init_state_batch: Callable,
+    lane_ssm,
+    x0s: jax.Array,
+    keys: jax.Array,
+    n_steps: int,
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    mesh=None,
+):
+    """Lane-major batched online-learning episodes — the same semantics as
+    :func:`run_batched_episodes` through the TPU-layout-native backend.
+
+    The vmapped runner above is LAYOUT-bound on TPU: the leading batch dim
+    forces XLA to tile the tiny trailing dims of every solver intermediate at
+    1.5-2% vector-lane utilization (solvers/sqp_lanes.py module docstring).
+    This runner instead threads the whole per-step pipeline batch-LAST:
+
+      * planning: ``get_action_batch`` (the batched SafeMPC state machine
+        over the lane-major SQP, solvers/safempc.make_safempc_batch);
+      * model: a :class:`~safe_exploration_tpu.models.gp_lanes.LaneGPSSM` —
+        per-lane GP buffers/factors stored (..., B), with the O(n^2)
+        incremental append as lane-tiled block-inverse updates
+        (models/gp_lanes.lane_append_point);
+      * plant steps/metrics: vmapped (tiny, not on the critical path).
+
+    Args mirror :func:`run_batched_episodes` with ``lane_ssm`` from
+    :func:`~safe_exploration_tpu.models.gp_lanes.lane_stack_ssm` and the
+    batched controller entries from ``build_experiment``. PRNG streams match
+    the vmapped runner exactly (same per-lane key splits), so plant noise is
+    identical — parity is pinned in tests/test_batch_lanes.py.
+
+    Returns (traj, lane_ssm_final) with the same (batch, n_steps, ...) traj
+    contract; convert the final model back with ``lane_unstack_ssm`` at the
+    episode boundary if stacked-path consumers (per-lane hyperopt,
+    checkpointing) need it.
+    """
+    from safe_exploration_tpu.models.gp_lanes import (
+        lane_append_point,
+        lane_predict,
+        lane_sharding_tree,
+    )
+
+    spec = env.spec
+    n_max = lane_ssm.gp.x.shape[0]
+    n_used = int(np.sum(jax.device_get(lane_ssm.gp.mask)))
+    if n_used + n_steps > n_max:
+        raise ValueError(
+            f"batched episode would overflow the GP buffer: {n_used} points "
+            f"+ {n_steps} appends > n_max={n_max}; raise the config's n_max "
+            "or shorten the episode"
+        )
+    bsz = x0s.shape[0]
+
+    # identical PRNG streams to the vmapped runner's one_lane: per lane,
+    # split(key, n_steps) then (k_plan, k_step) per step
+    step_keys = jax.vmap(lambda k: jax.random.split(k, n_steps))(keys)
+    step_keys = jnp.moveaxis(step_keys, 0, 1)               # (n_steps, B, ...)
+
+    def run(ls, x0s_, skeys):
+        ms = init_state_batch(bsz)
+
+        def body(carry, ks):
+            xs, ms, s = carry
+            pair = jax.vmap(jax.random.split)(ks)           # (B, 2, key)
+            k_step = pair[:, 1]
+            u, ms, info = get_action_batch(ms, s, xs)
+            u_app, x_next = jax.vmap(
+                lambda k, x, uu: env_step(env, k, x, uu)
+            )(k_step, xs, u)
+            resid = x_next - (xs @ a.T + u_app @ b.T)
+            mu_pred, _ = lane_predict(
+                s, jnp.concatenate([xs, u_app], axis=-1).T
+            )                                               # (e, B)
+            s = lane_append_point(s, xs, u_app, resid)
+            ok = jnp.all(
+                x_next @ spec.h_mat_obs.T - spec.h_obs[None, :] <= 0.0,
+                axis=-1,
+            )
+            out = {
+                "x": xs, "u": u_app, "resid": resid,
+                "model_err": jnp.linalg.norm(resid - mu_pred.T, axis=-1),
+                "feasible": info["feasible"],
+                "violation": info["violation"],
+                "constraint_ok": ok,
+            }
+            return (x_next, ms, s), out
+
+        (x_fin, _, s_fin), traj = jax.lax.scan(body, (x0s_, ms, ls), skeys)
+        # (n_steps, B, ...) -> (B, n_steps, ...): the vmapped runner's contract
+        traj = jax.tree.map(lambda t: jnp.moveaxis(t, 0, 1), traj)
+        return traj, s_fin
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lane_shard = NamedSharding(mesh, P(EPISODE_AXIS))
+        key_shard = NamedSharding(mesh, P(None, EPISODE_AXIS))
+        ls = jax.device_put(lane_ssm, lane_sharding_tree(
+            mesh, lane_ssm, EPISODE_AXIS
+        ))
+        x0s_ = jax.device_put(x0s, lane_shard)
+        skeys = jax.device_put(step_keys, key_shard)
+        traj, ssm_fin = jax.jit(run)(ls, x0s_, skeys)
+    else:
+        traj, ssm_fin = jax.jit(run)(lane_ssm, x0s, step_keys)
     return traj, ssm_fin

@@ -103,6 +103,7 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
         from safe_exploration_tpu.parallel import make_mesh
         from safe_exploration_tpu.runtime.batch import (
             run_batched_episodes,
+            run_batched_episodes_lanes,
             stack_ssm,
         )
         from safe_exploration_tpu.runtime.episode import collect_initial_data
@@ -127,15 +128,33 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
         x0s = spec.init_m + spec.init_std * jax.random.normal(
             k3, (lanes, spec.n_s), dtype
         )
-        t_roll = time.perf_counter()
-        traj, _ = run_batched_episodes(
-            exp["env"], exp["get_action"], exp["init_state"],
-            stack_ssm(ssm, lanes), x0s, jax.random.split(k4, lanes),
-            cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
+        # lane-major backend (per-lane GP buffers + lane SQP) when the
+        # configuration supports it; the vmapped portable runner otherwise
+        use_lanes = (
+            exp["get_action_batch"] is not None
+            and exp["lane_batch_supported"] is not None
+            and exp["lane_batch_supported"](ssm)
         )
+        t_roll = time.perf_counter()
+        if use_lanes:
+            from safe_exploration_tpu.models.gp_lanes import lane_stack_ssm
+
+            traj, _ = run_batched_episodes_lanes(
+                exp["env"], exp["get_action_batch"],
+                exp["init_state_batch"], lane_stack_ssm(ssm, lanes),
+                x0s, jax.random.split(k4, lanes),
+                cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
+            )
+        else:
+            traj, _ = run_batched_episodes(
+                exp["env"], exp["get_action"], exp["init_state"],
+                stack_ssm(ssm, lanes), x0s, jax.random.split(k4, lanes),
+                cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
+            )
         roll_s = time.perf_counter() - t_roll
         total_steps = lanes * cfg.n_steps
         out = {"series": {
+            "lane_backend": [int(use_lanes)],
             "violations": [int((~traj["constraint_ok"]).sum())],
             "feasibility_rate": [float(traj["feasible"].mean())],
             "model_error": [float(jnp.mean(traj["model_err"]))],
