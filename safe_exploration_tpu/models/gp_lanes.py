@@ -36,9 +36,10 @@ converting back to the stacked representation re-factorizes (exact, once per
 episode boundary).
 
 Parity: reference ``ssm_gpy/gaussian_process.py::SimpleGPModel`` buffers +
-``update_model`` (SURVEY.md §2.3) — per-episode-lane instead of global, and
-RBF-only (the lane backend's production configuration; composite kernels ride
-the stacked/vmapped path).
+``update_model`` (SURVEY.md §2.3) — per-episode-lane instead of global, over
+the full reference kernel menu (rbf/lin/mat52 + lin_rbf/lin_mat52 composites,
+per output dim — the journal configs' ``kern_types``), in lane-major
+arithmetic (_lane_kv_part/_lane_kzz_part/_lane_jac_part).
 """
 
 from __future__ import annotations
@@ -55,6 +56,7 @@ __all__ = [
     "LaneGPSSM",
     "lane_stack_ssm",
     "lane_unstack_ssm",
+    "lane_restack_ssm",
     "lane_predict",
     "lane_append_point",
     "lane_sharding_tree",
@@ -65,18 +67,27 @@ _JITTER = gp_mod._JITTER
 
 @struct.dataclass
 class LaneGP:
-    """B independent per-lane GPs, batch-LAST (see module docstring)."""
+    """B independent per-lane GPs, batch-LAST (see module docstring).
 
-    kern_types: tuple = struct.field(pytree_node=False)  # (e,) — all "rbf"
+    Hyperparameters come in two regimes, selected by ``per_lane_hypers``:
+    SHARED (one fitted model broadcast by :func:`lane_stack_ssm` — params
+    leaves/log_noise keep their unbatched shapes) or PER-LANE (between-
+    episode per-lane hyperopt re-imported by :func:`lane_restack_ssm` —
+    every hyper leaf gains a TRAILING (B,) lane axis). All lane arithmetic
+    below is written so either shape broadcasts against the (n, B) lane
+    tiles unchanged."""
+
+    kern_types: tuple = struct.field(pytree_node=False)  # (e,) kernel menu
     x: jax.Array        # (n_max, d_in, B) padded per-lane training inputs
     y: jax.Array        # (n_max, e, B) padded per-lane targets
     mask: jax.Array     # (n_max,) SHARED validity mask (lockstep appends)
-    params: tuple       # SHARED per-dim kernel param dicts
-    log_noise: jax.Array  # (e,) SHARED log observation-noise std
+    params: tuple       # per-dim kernel param dicts (shared or batch-last)
+    log_noise: jax.Array  # (e,) or (e, B) log observation-noise std
     beta: jax.Array     # (e, n_max, B) K^{-1}(m*y) per lane
     kinv: jax.Array     # (e, n_max, n_max, B) K^{-1} per lane
     head: jax.Array     # () int32 SHARED write pointer
     precision: str = struct.field(pytree_node=False, default="f32")
+    per_lane_hypers: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_max(self) -> int:
@@ -99,14 +110,85 @@ class LaneGP:
 class LaneGPSSM:
     """Per-lane GP-SSM: the lane-major counterpart of models/ssm.GPSSM.
 
-    Satisfies the subset of the SSM seam the lane solver consumes (RBF GP,
-    shared Lipschitz constants / normalization across lanes).
+    Satisfies the subset of the SSM seam the lane solver consumes. Lipschitz
+    constants follow the hyper regime of ``gp.per_lane_hypers``: (n_s,)
+    shared, or (n_s, B) after per-lane calibration — both broadcast through
+    the lane tube rollout unchanged.
     """
 
     gp: LaneGP
-    l_mu: jax.Array     # (n_s,) SHARED
-    l_sigma: jax.Array  # (n_s,) SHARED
-    z_scale: jax.Array | None = None  # (d_in,) or None
+    l_mu: jax.Array     # (n_s,) or (n_s, B)
+    l_sigma: jax.Array  # (n_s,) or (n_s, B)
+    z_scale: jax.Array | None = None  # (d_in,) or None — static per env
+
+
+#: kernel menu in lane-major form: composites are sums of these parts
+#: (models/kernels.KERNELS — same menu, batch-last arithmetic)
+_KERNEL_PARTS = {
+    "rbf": ("rbf",),
+    "lin": ("lin",),
+    "mat52": ("mat52",),
+    "lin_rbf": ("lin", "rbf"),
+    "lin_mat52": ("lin", "mat52"),
+}
+
+
+def _lane_d2(params, x, zz, d_in):
+    """ARD squared distance of lane queries to per-lane buffers, unrolled
+    over the tiny d_in so everything stays (n, B) lane-tiled."""
+    ls = jnp.exp(params["log_lengthscales"])
+    return jnp.maximum(
+        sum(((x[:, j, :] - zz[j][None, :]) / ls[j]) ** 2 for j in range(d_in)),
+        0.0,
+    )
+
+
+def _lane_kv_part(part, params, x, zz, d_in):
+    """One kernel part's cross-covariance k(z_b, X_b), (n, B) — the lane
+    form of models/kernels.KERNELS[part]."""
+    if part == "lin":
+        v = jnp.exp(2.0 * params["log_sv"])
+        return sum(v[j] * x[:, j, :] * zz[j][None, :] for j in range(d_in))
+    sf2 = jnp.exp(2.0 * params["log_sf"])
+    d2 = _lane_d2(params, x, zz, d_in)
+    if part == "rbf":
+        return sf2 * jnp.exp(-0.5 * d2)
+    d = jnp.sqrt(d2 + 1e-30)
+    s5 = jnp.sqrt(5.0).astype(d.dtype)
+    return sf2 * (1.0 + s5 * d + (5.0 / 3.0) * d * d) * jnp.exp(-s5 * d)
+
+
+def _lane_kzz_part(part, params, zz, d_in):
+    """One kernel part's prior variance at the lane queries, (B,) —
+    models/kernels.kernel_diag, lane form."""
+    if part == "lin":
+        v = jnp.exp(2.0 * params["log_sv"])
+        return sum(v[j] * zz[j] * zz[j] for j in range(d_in))
+    return jnp.exp(2.0 * params["log_sf"]) * jnp.ones_like(zz[0])
+
+
+def _lane_jac_part(part, params, x, zz, c, d_in):
+    """One kernel part's weighted-mean input gradient d/dz sum_n c_n k(z, x_n)
+    as a (d_in, B) stack — models/kernels.weighted_mean_jac, lane form
+    (``c`` carries the mask, so unmasked part-kv rows are harmless)."""
+    ls = jnp.exp(params.get("log_lengthscales", jnp.zeros(())))
+    if part == "lin":
+        v = jnp.exp(2.0 * params["log_sv"])
+        return jnp.stack([
+            v[j] * jnp.sum(x[:, j, :] * c, axis=0) for j in range(d_in)
+        ])
+    if part == "rbf":
+        w = _lane_kv_part("rbf", params, x, zz, d_in) * c
+    else:  # mat52: w_n = c_n * (5/3) sf^2 (1 + sqrt5 r) e^{-sqrt5 r}
+        sf2 = jnp.exp(2.0 * params["log_sf"])
+        r = jnp.sqrt(_lane_d2(params, x, zz, d_in) + 1e-30)
+        s5 = jnp.sqrt(5.0).astype(r.dtype)
+        w = c * (5.0 / 3.0) * sf2 * (1.0 + s5 * r) * jnp.exp(-s5 * r)
+    sum_w = jnp.sum(w, axis=0)
+    return jnp.stack([
+        (jnp.sum(x[:, j, :] * w, axis=0) - zz[j] * sum_w) / (ls[j] * ls[j])
+        for j in range(d_in)
+    ])
 
 
 def lane_stack_ssm(ssm: GPSSM, batch: int) -> LaneGPSSM:
@@ -116,10 +198,10 @@ def lane_stack_ssm(ssm: GPSSM, batch: int) -> LaneGPSSM:
     evolves its own buffers/factors via :func:`lane_append_point`.
     """
     gp = ssm.gp
-    if any(kt != "rbf" for kt in gp.kern_types):
+    if any(kt not in _KERNEL_PARTS for kt in gp.kern_types):
         raise NotImplementedError(
-            "lane-major per-lane GPs cover the production RBF configuration; "
-            f"got kern_types={gp.kern_types} — use runtime/batch.stack_ssm"
+            f"unknown kernel in kern_types={gp.kern_types} — use "
+            "runtime/batch.stack_ssm"
         )
 
     def lanes(arr):
@@ -157,13 +239,18 @@ def lane_unstack_ssm(lssm: LaneGPSSM) -> GPSSM:
     def stack_shared(arr):
         return jnp.broadcast_to(arr[None], (b,) + arr.shape)
 
+    # hyper leaves: broadcast if shared, rotate the trailing lane axis to
+    # the front if already per-lane
+    hyp = (lambda a_: jnp.moveaxis(a_, -1, 0)) if gp.per_lane_hypers \
+        else stack_shared
+
     base = gp_mod.GP(
         kern_types=gp.kern_types,
         x=jnp.moveaxis(gp.x, -1, 0),
         y=jnp.moveaxis(gp.y, -1, 0),
         mask=stack_shared(gp.mask),
-        params=jax.tree.map(stack_shared, gp.params),
-        log_noise=stack_shared(gp.log_noise),
+        params=jax.tree.map(hyp, gp.params),
+        log_noise=hyp(gp.log_noise),
         # placeholder factors — gp_refit rebuilds chol/beta/kinv from data
         chol=jnp.moveaxis(gp.kinv, -1, 0),
         beta=jnp.moveaxis(gp.beta, -1, 0),
@@ -174,11 +261,48 @@ def lane_unstack_ssm(lssm: LaneGPSSM) -> GPSSM:
     stacked_gp = jax.vmap(gp_mod.gp_refit)(base)
     return GPSSM(
         gp=stacked_gp,
-        l_mu=stack_shared(lssm.l_mu),
-        l_sigma=stack_shared(lssm.l_sigma),
+        l_mu=hyp(lssm.l_mu),
+        l_sigma=hyp(lssm.l_sigma),
         z_scale=(
             None if lssm.z_scale is None else stack_shared(lssm.z_scale)
         ),
+    )
+
+
+def lane_restack_ssm(stacked: GPSSM) -> LaneGPSSM:
+    """STACKED per-lane GPSSM (leading batch on every leaf, e.g. after a
+    vmapped between-episode ``ssm_fit``/``calibrate_lipschitz``) -> the
+    lane-major representation, keeping each lane's OWN hyperparameters and
+    Lipschitz constants as batch-last hyper leaves (``per_lane_hypers``).
+
+    Inverse of :func:`lane_unstack_ssm` up to the maintained factors
+    (beta/kinv are taken from the stacked refit — exact). mask/head must be
+    in lockstep across lanes (they are, by construction of the lane episode
+    runner); lane 0's copy is taken.
+    """
+    gp = stacked.gp
+
+    def to_lanes(arr):
+        return jnp.moveaxis(arr, 0, -1)
+
+    lane_gp = LaneGP(
+        kern_types=gp.kern_types,
+        x=to_lanes(gp.x),
+        y=to_lanes(gp.y),
+        mask=gp.mask[0],
+        params=jax.tree.map(to_lanes, gp.params),
+        log_noise=to_lanes(gp.log_noise),
+        beta=to_lanes(gp.beta),
+        kinv=to_lanes(gp.kinv),
+        head=gp.head[0],
+        precision=gp.precision,
+        per_lane_hypers=True,
+    )
+    return LaneGPSSM(
+        gp=lane_gp,
+        l_mu=to_lanes(stacked.l_mu),
+        l_sigma=to_lanes(stacked.l_sigma),
+        z_scale=None if stacked.z_scale is None else stacked.z_scale[0],
     )
 
 
@@ -202,30 +326,22 @@ def lane_predict(lssm: LaneGPSSM, z: jax.Array, *, want_jac: bool = False):
     mus, vars_, jacs = [], [], []
     for d in range(gp.n_out):
         params = gp.params[d]
-        ls = jnp.exp(params["log_lengthscales"])            # (d_in,)
-        sf2 = jnp.exp(2.0 * params["log_sf"])
-        # squared Mahalanobis distance of the lane query to ITS buffer,
-        # unrolled over d_in: d2[n, b] = sum_j ((x[n,j,b] - z[j,b]) / ls_j)^2
-        d2 = sum(
-            ((gp.x[:, j, :] - zz[j][None, :]) / ls[j]) ** 2
-            for j in range(d_in)
-        )                                                   # (n, B)
-        kv = sf2 * jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * gp.mask[:, None]
+        parts = _KERNEL_PARTS[gp.kern_types[d]]
+        kv = sum(
+            _lane_kv_part(p, params, gp.x, zz, d_in) for p in parts
+        ) * gp.mask[:, None]                                # (n, B)
         mus.append(jnp.sum(gp.beta[d] * kv, axis=0))        # (B,)
-        kzz = sf2
+        kzz = sum(_lane_kzz_part(p, params, zz, d_in) for p in parts)
         floor = jnp.maximum(8.0 * eps * kzz, 1e-12)
         kiv = jnp.einsum("ijb,jb->ib", gp.kinv[d], kv)      # (n, B)
         vars_.append(jnp.maximum(kzz - jnp.sum(kv * kiv, axis=0), floor))
         if want_jac:
-            # closed form (kernels.weighted_mean_jac, rbf branch):
-            # dmu/dz_j = sum_n w_n (x[n,j] - z_j) / ls_j^2, w = kv * beta
-            w = kv * gp.beta[d]                             # (n, B)
-            sum_w = jnp.sum(w, axis=0)                      # (B,)
-            jac = jnp.stack([
-                (jnp.sum(gp.x[:, j, :] * w, axis=0) - zz[j] * sum_w)
-                / (ls[j] * ls[j])
-                for j in range(d_in)
-            ])                                              # (d_in, B)
+            # closed form (kernels.weighted_mean_jac, lane form), weights
+            # carry the mask so per-part kv rows need none
+            c = gp.beta[d] * gp.mask[:, None]               # (n, B)
+            jac = sum(
+                _lane_jac_part(p, params, gp.x, zz, c, d_in) for p in parts
+            )                                               # (d_in, B)
             if lssm.z_scale is not None:
                 jac = jac / lssm.z_scale[:, None]
             jacs.append(jac)
@@ -278,19 +394,16 @@ def lane_append_point(
     betas, kinvs = [], []
     for d in range(gp.n_out):
         params = gp.params[d]
-        ls = jnp.exp(params["log_lengthscales"])
-        sf2 = jnp.exp(2.0 * params["log_sf"])
+        parts = _KERNEL_PARTS[gp.kern_types[d]]
         noise_var = jnp.exp(2.0 * gp.log_noise[d])
         # cross-covariance of the new point vs existing actives (OLD mask
         # zeroes the slot row, so writing x first is safe — as in
         # gp_append_point)
-        d2 = sum(
-            ((x_buf[:, j, :] - z[j][None, :]) / ls[j]) ** 2
-            for j in range(d_in)
-        )
-        kv = sf2 * jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * gp.mask[:, None]
+        kv = sum(
+            _lane_kv_part(p, params, x_buf, z, d_in) for p in parts
+        ) * gp.mask[:, None]
         w = jnp.einsum("ijb,jb->ib", gp.kinv[d], kv)        # (n, B)
-        knn = sf2                                           # rbf kernel diag
+        knn = sum(_lane_kzz_part(p, params, z, d_in) for p in parts)  # (B,)
         schur = jnp.maximum(
             knn + noise_var + _JITTER - jnp.sum(kv * w, axis=0), _JITTER
         )                                                   # (B,)
@@ -327,6 +440,9 @@ def lane_sharding_tree(mesh, lssm: LaneGPSSM, axis_name: str):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     lane_fields = {"x", "y", "beta", "kinv"}
+    if lssm.gp.per_lane_hypers:
+        # per-lane hyper leaves also carry a trailing lane axis
+        lane_fields |= {"params", "log_noise", "l_mu", "l_sigma"}
 
     def per_leaf(path, leaf):
         names = {

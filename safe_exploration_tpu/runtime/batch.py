@@ -26,7 +26,12 @@ from safe_exploration_tpu.envs.base import Env, env_step
 from safe_exploration_tpu.models.ssm import GPSSM, ssm_append_point, ssm_predict
 from safe_exploration_tpu.parallel.mesh import EPISODE_AXIS
 
-__all__ = ["stack_ssm", "run_batched_episodes", "run_batched_episodes_lanes"]
+__all__ = [
+    "stack_ssm",
+    "run_batched_episodes",
+    "run_batched_episodes_lanes",
+    "run_batched_learning",
+]
 
 
 def stack_ssm(ssm: GPSSM, batch: int) -> GPSSM:
@@ -229,3 +234,125 @@ def run_batched_episodes_lanes(
     else:
         traj, ssm_fin = jax.jit(run)(lane_ssm, x0s, step_keys)
     return traj, ssm_fin
+
+
+def run_batched_learning(
+    env: Env,
+    exp: dict,
+    ssm: GPSSM,
+    batch: int,
+    key: jax.Array,
+    n_ep: int,
+    n_steps: int,
+    *,
+    hyp_iters: int = 80,
+    opt_hyp_every: int = 1,
+    calibrate: bool = True,
+    mesh=None,
+    backend: str | None = None,
+):
+    """``batch`` independent FULL safe-learning runs: the reference's episodic
+    loop (``episode_runner.py::run_episodic``, SURVEY.md §2.8) for every lane
+    at once — per-episode rollouts through the batched episode runners above,
+    then a BETWEEN-EPISODE per-lane hyperparameter re-fit (+ Lipschitz
+    re-calibration) exactly like the single-run ``runtime/episode.py`` loop,
+    vmapped across lanes.
+
+    ``backend`` "lanes" | "stacked" | None (auto: lanes when the experiment's
+    ``lane_batch_supported`` covers the model). On the lane backend the
+    between-episode fit round-trips through the stacked view
+    (``lane_unstack_ssm`` -> vmapped fit -> ``lane_restack_ssm``), after which
+    every lane carries its OWN hyperparameters/Lipschitz constants as
+    batch-last hyper leaves (models/gp_lanes ``per_lane_hypers``).
+
+    Returns {"series": per-episode lists (lane-mean metrics, same names as
+    run_episodic), "model": final per-lane model (LaneGPSSM or stacked
+    GPSSM)}.
+    """
+    import time
+
+    from safe_exploration_tpu.envs.base import env_reset
+    from safe_exploration_tpu.models.ssm import (
+        calibrate_lipschitz as _calibrate,
+        ssm_fit,
+    )
+
+    spec = env.spec
+    a, b = exp["a"], exp["b"]
+    if backend is None:
+        lbs = exp.get("lane_batch_supported")
+        backend = (
+            "lanes"
+            if exp.get("get_action_batch") is not None
+            and lbs is not None and lbs(ssm)
+            else "stacked"
+        )
+    if backend == "lanes":
+        from safe_exploration_tpu.models.gp_lanes import (
+            lane_restack_ssm,
+            lane_stack_ssm,
+            lane_unstack_ssm,
+        )
+
+        model = lane_stack_ssm(ssm, batch)
+    else:
+        model = stack_ssm(ssm, batch)
+
+    def fit_one(s):
+        s = ssm_fit(s, iters=hyp_iters)
+        if calibrate:
+            s = _calibrate(s, spec)
+        return s
+
+    fit_batch = jax.jit(jax.vmap(fit_one))
+
+    series: dict[str, list] = {
+        "violations": [], "feasibility_rate": [], "model_error": [],
+        "mean_cost": [], "episode_time_s": [], "n_data": [],
+    }
+    for ep in range(n_ep):
+        key, k_reset, k_roll = jax.random.split(key, 3)
+        x0s = jax.vmap(lambda k: env_reset(env, k))(
+            jax.random.split(k_reset, batch)
+        )
+        ep_keys = jax.random.split(k_roll, batch)
+        t0 = time.perf_counter()
+        if backend == "lanes":
+            traj, model = run_batched_episodes_lanes(
+                env, exp["get_action_batch"], exp["init_state_batch"],
+                model, x0s, ep_keys, n_steps, a, b, mesh=mesh,
+            )
+            n_data = int(model.gp.n_points)
+        else:
+            traj, model = run_batched_episodes(
+                env, exp["get_action"], exp["init_state"],
+                model, x0s, ep_keys, n_steps, a, b, mesh=mesh,
+            )
+            n_data = int(np.max(
+                jax.device_get(jnp.sum(model.gp.mask, axis=-1))
+            ))
+        jax.block_until_ready(traj["x"])
+        dt_ep = time.perf_counter() - t0
+
+        series["violations"].append(int((~traj["constraint_ok"]).sum()))
+        series["feasibility_rate"].append(float(traj["feasible"].mean()))
+        series["model_error"].append(float(jnp.mean(traj["model_err"])))
+        series["mean_cost"].append(
+            float(jnp.mean(jnp.sum(traj["x"] ** 2, axis=-1)))
+        )
+        series["episode_time_s"].append(dt_ep)
+        series["n_data"].append(n_data)
+
+        # between-episode per-lane hyperopt (skip after the final episode —
+        # nothing consumes it)
+        if (
+            opt_hyp_every
+            and (ep + 1) % opt_hyp_every == 0
+            and ep + 1 < n_ep
+        ):
+            if backend == "lanes":
+                model = lane_restack_ssm(fit_batch(lane_unstack_ssm(model)))
+            else:
+                model = fit_batch(model)
+
+    return {"series": series, "model": model}

@@ -237,7 +237,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
                 raise TypeError(
                     "per-lane (LaneGPSSM) models require the lane backend; "
                     "this solver configuration is unsupported there "
-                    "(opt_k_fb/non-GN/composite kernels) — use the "
+                    "(opt_k_fb/non-GN/ff-precision) — use the "
                     "stacked runtime/batch.run_batched_episodes path"
                 )
             key = jax.random.PRNGKey(0)
@@ -378,7 +378,7 @@ register_config(
 register_config(
     ExperimentConfig(
         name="pendulum_batch", task="batch", batch_lanes=256, n_safe=3,
-        n_max=128, n_steps=20, n_init_samples=24,
+        n_max=128, n_steps=20, n_init_samples=24, n_ep=1,
         cem_samples=64, cem_elites=12, cem_iterations=4,
     )
 )
@@ -390,6 +390,7 @@ register_config(
     ExperimentConfig(
         name="pendulum_batch_sqp", task="batch", solver="sqp",
         batch_lanes=256, n_safe=3, n_max=128, n_steps=20, n_init_samples=24,
+        n_ep=4,  # 4 episodes/lane: 24 + 4*20 = 104 <= n_max=128
         sqp_outer=4, sqp_inner=3,
     )
 )

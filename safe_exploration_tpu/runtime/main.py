@@ -135,35 +135,62 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             and exp["lane_batch_supported"] is not None
             and exp["lane_batch_supported"](ssm)
         )
-        t_roll = time.perf_counter()
-        if use_lanes:
-            from safe_exploration_tpu.models.gp_lanes import lane_stack_ssm
+        if cfg.n_ep > 1:
+            # N independent FULL learning runs: per-episode rollouts +
+            # between-episode per-lane hyperopt (the reference's episodic
+            # loop, every lane at once)
+            from safe_exploration_tpu.runtime.batch import (
+                run_batched_learning,
+            )
 
-            traj, _ = run_batched_episodes_lanes(
-                exp["env"], exp["get_action_batch"],
-                exp["init_state_batch"], lane_stack_ssm(ssm, lanes),
-                x0s, jax.random.split(k4, lanes),
-                cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
+            res = run_batched_learning(
+                exp["env"], exp, ssm, lanes, k4, cfg.n_ep, cfg.n_steps,
+                hyp_iters=cfg.hyp_iters, mesh=mesh,
+                backend="lanes" if use_lanes else "stacked",
             )
+            series = dict(res["series"])
+            roll_s = sum(series["episode_time_s"])
+            total_steps = lanes * cfg.n_steps * cfg.n_ep
+            series["lane_backend"] = [int(use_lanes)] * cfg.n_ep
+            series["lanes"] = [lanes] * cfg.n_ep
+            series["steps_per_sec"] = [total_steps / roll_s] * cfg.n_ep
+            out = {"series": series}
+            for name, vals in series.items():
+                for step, v in enumerate(vals):
+                    metrics.log_scalar(name, v, step=step)
+            metrics.flush()
         else:
-            traj, _ = run_batched_episodes(
-                exp["env"], exp["get_action"], exp["init_state"],
-                stack_ssm(ssm, lanes), x0s, jax.random.split(k4, lanes),
-                cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
-            )
-        roll_s = time.perf_counter() - t_roll
-        total_steps = lanes * cfg.n_steps
-        out = {"series": {
-            "lane_backend": [int(use_lanes)],
-            "violations": [int((~traj["constraint_ok"]).sum())],
-            "feasibility_rate": [float(traj["feasible"].mean())],
-            "model_error": [float(jnp.mean(traj["model_err"]))],
-            "lanes": [lanes],
-            "steps_per_sec": [total_steps / roll_s],
-        }}
-        for name, vals in out["series"].items():
-            metrics.log_scalar(name, vals[0], step=0)
-        metrics.flush()
+            t_roll = time.perf_counter()
+            if use_lanes:
+                from safe_exploration_tpu.models.gp_lanes import (
+                    lane_stack_ssm,
+                )
+
+                traj, _ = run_batched_episodes_lanes(
+                    exp["env"], exp["get_action_batch"],
+                    exp["init_state_batch"], lane_stack_ssm(ssm, lanes),
+                    x0s, jax.random.split(k4, lanes),
+                    cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
+                )
+            else:
+                traj, _ = run_batched_episodes(
+                    exp["env"], exp["get_action"], exp["init_state"],
+                    stack_ssm(ssm, lanes), x0s, jax.random.split(k4, lanes),
+                    cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
+                )
+            roll_s = time.perf_counter() - t_roll
+            total_steps = lanes * cfg.n_steps
+            out = {"series": {
+                "lane_backend": [int(use_lanes)],
+                "violations": [int((~traj["constraint_ok"]).sum())],
+                "feasibility_rate": [float(traj["feasible"].mean())],
+                "model_error": [float(jnp.mean(traj["model_err"]))],
+                "lanes": [lanes],
+                "steps_per_sec": [total_steps / roll_s],
+            }}
+            for name, vals in out["series"].items():
+                metrics.log_scalar(name, vals[0], step=0)
+            metrics.flush()
     elif cfg.task == "uncertainty":
         import jax.numpy as jnp
 

@@ -22,11 +22,11 @@ This backend instead writes the whole solve BATCH-LAST by construction:
 
 A representative 5-stage tube chain measures **8.5x faster** in this form
 than the vmapped form on TPU v5e (chain-differenced, see bench.py). The
-backend covers the production cold/warm solve configuration (uniform-RBF
-GP-SSM, GN Hessian, exact line search, fixed feedback gains; with or
-without a joint performance trajectory) and falls back to the portable
-path otherwise; parity with ``solve_safempc_nlp`` is pinned in
-tests/test_sqp_lanes.py.
+backend covers the production cold/warm solve configuration (GP-SSM over
+the full kernel menu, GN Hessian, exact line search, fixed feedback gains;
+with or without a joint performance trajectory) and falls back to the
+portable path otherwise (opt_k_fb, exact Hessian, non-GP models); parity
+with ``solve_safempc_nlp`` is pinned in tests/test_sqp_lanes.py.
 
 Parity: reference ``safempc_simple.py::SimpleSafeMPC`` solve path +
 IPOPT/MUMPS (SURVEY.md §2.5, §3.3) — same NLP, same augmented-Lagrangian /
@@ -40,7 +40,11 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from safe_exploration_tpu.models.gp_lanes import LaneGPSSM, lane_predict
+from safe_exploration_tpu.models.gp_lanes import (
+    _KERNEL_PARTS,
+    LaneGPSSM,
+    lane_predict,
+)
 from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.solvers.sqp import SqpConfig, _solve_spd_unrolled
 
@@ -99,37 +103,83 @@ def _gp_predict_lanes(ssm: GPSSM, z: jax.Array, *, want_jac: bool):
     mus, vars_, jacs = [], [], []
     for d in range(gp.n_out):
         params = gp.params[d]
-        ls = jnp.exp(params["log_lengthscales"])          # (d_in,)
-        sf2 = jnp.exp(2.0 * params["log_sf"])
-        xs = gp.x / ls[None, :]                            # (n, d_in)
-        zs = zz / ls[:, None]                              # (d_in, B)
-        d2 = (
-            jnp.sum(xs * xs, axis=-1)[:, None]
-            + jnp.sum(zs * zs, axis=0)[None, :]
-            - 2.0 * (xs @ zs)
-        )
-        kv = sf2 * jnp.exp(-0.5 * jnp.maximum(d2, 0.0)) * gp.mask[:, None]
+        parts = _KERNEL_PARTS[gp.kern_types[d]]
+        kv = sum(
+            _kv_part_shared(p, params, gp.x, zz) for p in parts
+        ) * gp.mask[:, None]                               # (n, B)
         mus.append(gp.beta[d] @ kv)                        # (B,)
-        kzz = sf2
+        kzz = sum(_kzz_part_shared(p, params, zz) for p in parts)
         floor = jnp.maximum(8.0 * eps * kzz, 1e-12)
         vars_.append(
             jnp.maximum(kzz - jnp.sum(kv * (gp.kinv[d] @ kv), axis=0), floor)
         )
         if want_jac:
-            # closed form (kernels.weighted_mean_jac, rbf branch):
-            # dmu/dz = (X^T w - z * sum(w)) / ls^2, w = kv * (mask * beta)
-            w = kv * (gp.mask * gp.beta[d])[:, None]       # (n, B)
-            jac = (gp.x.T @ w - zz * jnp.sum(w, axis=0)[None, :]) / (
-                ls * ls
-            )[:, None]
+            # closed form (kernels.weighted_mean_jac, matmul lane form);
+            # the weights carry the mask, so per-part kv rows need none
+            c = gp.mask * gp.beta[d]                       # (n,)
+            jac = sum(
+                _jac_part_shared(p, params, gp.x, zz, c) for p in parts
+            )                                              # (d_in, B)
             if ssm.z_scale is not None:
                 jac = jac / ssm.z_scale[:, None]
-            jacs.append(jac)                               # (d_in, B)
+            jacs.append(jac)
     mu = jnp.stack(mus)
     var = jnp.stack(vars_)
     if want_jac:
         return mu, var, jnp.stack(jacs)                    # (e, d_in, B)
     return mu, var
+
+
+def _d2_shared(params, x, zz):
+    """ARD squared distances (n, B) in the MXU-friendly matmul form."""
+    ls = jnp.exp(params["log_lengthscales"])
+    xs = x / ls[None, :]                                   # (n, d_in)
+    zs = zz / ls[:, None]                                  # (d_in, B)
+    return jnp.maximum(
+        jnp.sum(xs * xs, axis=-1)[:, None]
+        + jnp.sum(zs * zs, axis=0)[None, :]
+        - 2.0 * (xs @ zs),
+        0.0,
+    )
+
+
+def _kv_part_shared(part, params, x, zz):
+    """One kernel part's cross-covariance k(z_b, X), (n, B) — the shared-
+    model matmul counterpart of models/gp_lanes._lane_kv_part."""
+    if part == "lin":
+        v = jnp.exp(2.0 * params["log_sv"])
+        return (x * v[None, :]) @ zz
+    sf2 = jnp.exp(2.0 * params["log_sf"])
+    if part == "rbf":
+        return sf2 * jnp.exp(-0.5 * _d2_shared(params, x, zz))
+    d = jnp.sqrt(_d2_shared(params, x, zz) + 1e-30)
+    s5 = jnp.sqrt(5.0).astype(d.dtype)
+    return sf2 * (1.0 + s5 * d + (5.0 / 3.0) * d * d) * jnp.exp(-s5 * d)
+
+
+def _kzz_part_shared(part, params, zz):
+    """One kernel part's prior variance at the queries, (B,)."""
+    if part == "lin":
+        v = jnp.exp(2.0 * params["log_sv"])
+        return v @ (zz * zz)
+    return jnp.exp(2.0 * params["log_sf"]) * jnp.ones_like(zz[0])
+
+
+def _jac_part_shared(part, params, x, zz, c):
+    """One kernel part's weighted-mean input gradient, (d_in, B) —
+    models/kernels.weighted_mean_jac in the shared-model matmul form."""
+    if part == "lin":
+        v = jnp.exp(2.0 * params["log_sv"])
+        return (v * (c @ x))[:, None] * jnp.ones_like(zz[:1])
+    ls = jnp.exp(params["log_lengthscales"])
+    if part == "rbf":
+        w = _kv_part_shared("rbf", params, x, zz) * c[:, None]
+    else:  # mat52
+        sf2 = jnp.exp(2.0 * params["log_sf"])
+        r = jnp.sqrt(_d2_shared(params, x, zz) + 1e-30)
+        s5 = jnp.sqrt(5.0).astype(r.dtype)
+        w = c[:, None] * (5.0 / 3.0) * sf2 * (1.0 + s5 * r) * jnp.exp(-s5 * r)
+    return (x.T @ w - zz * jnp.sum(w, axis=0)[None, :]) / (ls * ls)[:, None]
 
 
 # ------------------------------------------------------------- tube (lanes)
@@ -643,7 +693,7 @@ def lanes_supported(ssm, cfg: SqpConfig, cost_kind: str) -> bool:
     models — the batched online-learning episodes of runtime/batch)."""
     return (
         isinstance(ssm, (GPSSM, LaneGPSSM))
-        and all(kt == "rbf" for kt in ssm.gp.kern_types)
+        and all(kt in _KERNEL_PARTS for kt in ssm.gp.kern_types)
         and ssm.gp.precision == "f32"
         and not cfg.opt_k_fb
         and cfg.hessian == "gn"

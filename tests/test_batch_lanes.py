@@ -37,7 +37,8 @@ from safe_exploration_tpu.runtime.batch import (
 )
 
 
-def _make_ssm(dtype, n_data=20, n_max=32, z_scale=True):
+def _make_ssm(dtype, n_data=20, n_max=32, z_scale=True,
+              kern_types=("rbf", "rbf")):
     env = make_pendulum(dtype=dtype)
     a, b = linearize_discretize(env)
     key = jax.random.PRNGKey(0)
@@ -48,7 +49,7 @@ def _make_ssm(dtype, n_data=20, n_max=32, z_scale=True):
     _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
     resid = x_next - (xs @ a.T + us @ b.T)
     ssm = make_gp_ssm(
-        ("rbf", "rbf"), xs, us, resid, n_max=n_max,
+        kern_types, xs, us, resid, n_max=n_max,
         l_mu=jnp.full((2,), 0.05, dtype), l_sigma=jnp.full((2,), 0.02, dtype),
         log_noise=-4.0,
         z_scale=jnp.asarray([0.5, 2.0, 1.0], dtype) if z_scale else None,
@@ -129,6 +130,43 @@ def test_lane_append_matches_vmapped_sequential():
                                rtol=1e-7, atol=1e-11)
     np.testing.assert_allclose(np.asarray(var.T), np.asarray(var_ref),
                                rtol=1e-6, atol=1e-11)
+
+
+def test_lane_composite_kernels_predict_and_append_parity():
+    """The lane-major model covers the reference kernel MENU (SURVEY.md §2.3
+    kern_types — composites included): per-lane predicts + the incremental
+    block-inverse append match the vmapped kernel-generic gp path on a
+    mixed lin_rbf/lin_mat52 menu."""
+    _, ssm, _, _ = _make_ssm(jnp.float64,
+                             kern_types=("lin_rbf", "lin_mat52"))
+    bsz, k_steps = 4, 5
+    lssm = lane_stack_ssm(ssm, bsz)
+    stacked = stack_ssm(ssm, bsz)
+    xs, us, ys = _rand_transitions(jax.random.PRNGKey(31), bsz, k_steps,
+                                   jnp.float64)
+    for t in range(k_steps):
+        lssm = lane_append_point(lssm, xs[t], us[t], ys[t])
+        stacked = jax.vmap(ssm_append_point)(stacked, xs[t], us[t], ys[t])
+    key = jax.random.PRNGKey(33)
+    xq = jax.random.uniform(key, (bsz, 2), jnp.float64, -0.3, 0.3)
+    uq = jax.random.uniform(jax.random.fold_in(key, 1), (bsz, 1),
+                            jnp.float64, -0.5, 0.5)
+    mu, var, jac = lane_predict(
+        lssm, jnp.concatenate([xq, uq], axis=-1).T, want_jac=True
+    )
+    mu_ref, var_ref = jax.vmap(ssm_predict)(stacked, xq, uq)
+    np.testing.assert_allclose(np.asarray(mu.T), np.asarray(mu_ref),
+                               rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(var.T), np.asarray(var_ref),
+                               rtol=1e-6, atol=1e-11)
+    # closed-form mean Jacobian vs autodiff of the per-lane posterior
+    for i in range(bsz):
+        one = jax.tree.map(lambda t: t[i], stacked)
+        jac_ad = jax.jacfwd(
+            lambda zz: ssm_predict(one, zz[:2], zz[2:])[0]
+        )(jnp.concatenate([xq[i], uq[i]]))
+        np.testing.assert_allclose(np.asarray(jac[:, :, i]),
+                                   np.asarray(jac_ad), rtol=1e-7, atol=1e-10)
 
 
 def test_lane_append_saturates_on_full_buffer():
@@ -288,6 +326,102 @@ def test_lane_episode_runner_sharded_matches_unsharded():
     diff = np.abs(np.asarray(traj_8["x"]) - np.asarray(traj_1["x"]))
     assert np.quantile(diff, 0.8) < 0.02, (np.quantile(diff, 0.8), diff.max())
     assert lssm_8.gp.x.shape[-1] == bsz
+
+
+def test_lane_restack_per_lane_hypers_parity():
+    """lane_restack_ssm imports a stacked model with DIVERGED per-lane
+    hyperparameters (after a vmapped between-episode fit) back into the
+    lane-major layout; predicts and appends still match the vmapped path
+    with each lane's OWN hypers (batch-last hyper leaves broadcast through
+    the lane arithmetic)."""
+    from safe_exploration_tpu.models.gp_lanes import lane_restack_ssm
+
+    _, ssm, _, _ = _make_ssm(jnp.float64)
+    bsz = 4
+    stacked = stack_ssm(ssm, bsz)
+    # perturb every lane's hypers differently (as a per-lane fit would)
+    key = jax.random.PRNGKey(41)
+
+    def perturb(leaf):
+        nonlocal key
+        key = jax.random.fold_in(key, leaf.size)
+        return leaf + 0.2 * jax.random.normal(key, leaf.shape, leaf.dtype)
+
+    stacked = stacked.replace(
+        gp=stacked.gp.replace(
+            params=jax.tree.map(perturb, stacked.gp.params),
+            log_noise=perturb(stacked.gp.log_noise),
+        ),
+        l_mu=perturb(stacked.l_mu),
+    )
+    from safe_exploration_tpu.models.gp import gp_refit
+
+    stacked = stacked.replace(gp=jax.vmap(gp_refit)(stacked.gp))
+    lssm = lane_restack_ssm(stacked)
+    assert lssm.gp.per_lane_hypers
+    np.testing.assert_allclose(np.moveaxis(np.asarray(lssm.l_mu), -1, 0),
+                               np.asarray(stacked.l_mu))
+
+    # predict parity with per-lane hypers
+    key = jax.random.PRNGKey(43)
+    xq = jax.random.uniform(key, (bsz, 2), jnp.float64, -0.3, 0.3)
+    uq = jax.random.uniform(jax.random.fold_in(key, 1), (bsz, 1),
+                            jnp.float64, -0.5, 0.5)
+    mu, var = lane_predict(lssm, jnp.concatenate([xq, uq], axis=-1).T)
+    mu_ref, var_ref = jax.vmap(ssm_predict)(stacked, xq, uq)
+    np.testing.assert_allclose(np.asarray(mu.T), np.asarray(mu_ref),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(var.T), np.asarray(var_ref),
+                               rtol=1e-7, atol=1e-12)
+
+    # append parity with per-lane hypers (per-lane noise enters the Schur)
+    xs, us, ys = _rand_transitions(jax.random.PRNGKey(44), bsz, 3,
+                                   jnp.float64)
+    st2 = stacked
+    for t in range(3):
+        lssm = lane_append_point(lssm, xs[t], us[t], ys[t])
+        st2 = jax.vmap(ssm_append_point)(st2, xs[t], us[t], ys[t])
+    mu2, var2 = lane_predict(lssm, jnp.concatenate([xq, uq], axis=-1).T)
+    mu2_ref, var2_ref = jax.vmap(ssm_predict)(st2, xq, uq)
+    np.testing.assert_allclose(np.asarray(mu2.T), np.asarray(mu2_ref),
+                               rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(var2.T), np.asarray(var2_ref),
+                               rtol=1e-6, atol=1e-11)
+
+
+def test_batched_learning_loop_learns():
+    """run_batched_learning: N parallel FULL learning runs (episodes +
+    between-episode per-lane hyperopt) — zero violations throughout, the
+    model-error series decreases as every lane's GP learns, the data count
+    grows by n_steps per episode, and per-lane hypers have genuinely
+    diverged by the end."""
+    from safe_exploration_tpu.runtime.batch import run_batched_learning
+
+    dtype = jnp.float64
+    exp, ssm = _build_batch_exp(dtype, n_max=48)
+    bsz, n_ep, n_steps = 3, 3, 6
+    res = run_batched_learning(
+        exp["env"], exp, ssm, bsz, jax.random.PRNGKey(3), n_ep, n_steps,
+        hyp_iters=30,
+    )
+    s = res["series"]
+    assert len(s["model_error"]) == n_ep
+    assert all(v == 0 for v in s["violations"])
+    assert s["model_error"][-1] < s["model_error"][0]
+    assert s["n_data"] == [24 + (ep + 1) * n_steps for ep in range(n_ep)]
+    model = res["model"]
+    assert isinstance(model, LaneGPSSM) and model.gp.per_lane_hypers
+    # per-lane fits diverged the hypers across lanes
+    sf = np.asarray(model.gp.params[0]["log_sf"])
+    assert sf.shape == (bsz,) and np.std(sf) > 0
+
+    # the stacked backend runs the same loop (smoke, 1 fit round)
+    res_v = run_batched_learning(
+        exp["env"], exp, ssm, 2, jax.random.PRNGKey(3), 2, 4,
+        hyp_iters=10, backend="stacked",
+    )
+    assert len(res_v["series"]["model_error"]) == 2
+    assert all(v == 0 for v in res_v["series"]["violations"])
 
 
 def test_registered_batch_sqp_config_rides_lanes():

@@ -102,6 +102,41 @@ def test_lane_gp_predict_parity(setup):
         )
 
 
+def test_lane_gp_predict_parity_composite():
+    """The shared-model lane predict covers the reference kernel MENU: a
+    mixed lin_rbf/mat52 kern_types tuple matches gp_predict_batch and the
+    autodiff mean Jacobian (matmul part-forms, f64 exact)."""
+    dtype = jnp.float64
+    key = jax.random.PRNGKey(2)
+    xs = jax.random.uniform(key, (20, 2), dtype, -0.5, 0.5)
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (20, 1), dtype,
+                            -0.8, 0.8)
+    resid = 1e-2 * jax.random.normal(jax.random.fold_in(key, 2), (20, 2),
+                                     dtype)
+    ssm = make_gp_ssm(
+        ("lin_rbf", "mat52"), xs, us, resid, n_max=28,
+        l_mu=jnp.full((2,), 0.05, dtype), l_sigma=jnp.full((2,), 0.02, dtype),
+        log_noise=-4.0, z_scale=jnp.asarray([0.5, 2.0, 1.0], dtype),
+    )
+    z = jax.random.uniform(jax.random.fold_in(key, 3), (9, 3), dtype,
+                           -0.5, 0.5)
+    zz = z / ssm.z_scale
+    mu_ref, var_ref = gp_predict_batch(ssm.gp, zz)
+    mu, var, jac = _gp_predict_lanes(ssm, z.T, want_jac=True)
+    np.testing.assert_allclose(np.asarray(mu.T), np.asarray(mu_ref),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(var.T), np.asarray(var_ref),
+                               rtol=1e-8, atol=1e-13)
+    from safe_exploration_tpu.models.ssm import ssm_predict
+
+    for i in range(z.shape[0]):
+        jac_ad = jax.jacfwd(
+            lambda q: ssm_predict(ssm, q[:2], q[2:])[0]
+        )(z[i])
+        np.testing.assert_allclose(np.asarray(jac[:, :, i]),
+                                   np.asarray(jac_ad), rtol=1e-8, atol=1e-12)
+
+
 def test_lane_rollout_parity(setup):
     _, ssm, k_fb, a, b = setup
     cfg = SqpConfig(n_safe=5)
@@ -297,8 +332,9 @@ def test_lane_solver_perf_trajectory_matches_portable(setup32):
 
 def test_batch_planner_auto_dispatch():
     """build_experiment's batched entry routes to the lane backend when
-    supported and transparently falls back to the vmapped portable planner
-    otherwise (e.g. composite kernels), with the same results contract."""
+    supported (full kernel menu incl. composites) and transparently falls
+    back to the vmapped portable planner otherwise (e.g. "ff"-precision
+    factors), with the same results contract."""
     from safe_exploration_tpu.envs import env_step
     from safe_exploration_tpu.models import make_gp_ssm
     from safe_exploration_tpu.runtime.config import (
@@ -323,12 +359,23 @@ def test_batch_planner_auto_dispatch():
 
     x0s = jnp.asarray([[0.05, 0.1], [-0.04, -0.1]], dtype)
     warm = jnp.zeros((2, 3, 1), dtype)
-    for kern in ("rbf", "lin_rbf"):      # lane-supported / fallback
+    # (kern, force_ff): lanes / lanes-composite / portable fallback
+    for kern, force_ff in (("rbf", False), ("lin_rbf", False),
+                           ("rbf", True)):
         ssm = make_gp_ssm(
             (kern, kern), xs, us, resid, n_max=32,
             l_mu=jnp.full((2,), 0.05, dtype),
             l_sigma=jnp.full((2,), 0.02, dtype), log_noise=-4.0,
         )
+        if force_ff:
+            ssm = ssm.replace(gp=ssm.gp.replace(precision="ff"))
+        from safe_exploration_tpu.solvers.sqp import SqpConfig
+        from safe_exploration_tpu.solvers.sqp_lanes import lanes_supported
+
+        expect_lanes = not force_ff
+        assert lanes_supported(
+            ssm, SqpConfig(n_safe=3), "tracking"
+        ) == expect_lanes
         k_ff, feas, viol, info = exp["batch_planner"](ssm, x0s, warm)
         assert k_ff.shape == (2, 3, 1)
         assert feas.shape == (2,) and viol.shape == (2,)
