@@ -251,6 +251,60 @@ def bench_batched_episodes(batch: int = 256, n_steps: int = 16,
     return steps_per_sec, feas
 
 
+def bench_cem_solves(batch: int = 256, iters: int = 5, n_max: int = 64,
+                     n_data: int = 48, n_safe: int = 5,
+                     backend: str = "lanes"):
+    """Constrained-CEM batched cold solves — the sampling-based solver family
+    (BASELINE cfg 5's planner, reference safempc_cem.py).
+
+    backend="lanes": solvers/cem_lanes — the M samples x B instances product
+    is ONE lane axis, so every tube intermediate is batch-last and the GP
+    contractions are (n, M*B) MXU matmuls. "vmapped": vmap the portable
+    cem_plan over instances (each vmapping its own M samples) — the layout
+    A/B for CEM, mirroring the SQP rows above.
+    Returns (solves_per_sec, feasible_frac).
+    """
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+    from safe_exploration_tpu.solvers.cem import cem_warm_len
+
+    dtype = jnp.float32
+    _, ssm, x0s, _ = build(batch, n_max, n_data, n_safe, dtype)
+    cfg = ExperimentConfig(
+        name="bcem", solver="cem", n_safe=n_safe, n_max=n_max,
+        cem_samples=64, cem_elites=12, cem_iterations=4,
+    )
+    exp = build_experiment(cfg, dtype=dtype)
+    from safe_exploration_tpu.solvers.cem import CemConfig
+
+    t_total = cem_warm_len(CemConfig(n_safe=n_safe))
+    warm = jnp.zeros((batch, t_total, 1), dtype)
+    ssm_plan = ssm_bucketed(ssm)
+
+    if backend == "lanes":
+        bp = exp["batch_planner"]
+        solve = jax.jit(lambda x, w: bp(ssm_plan, x, w))
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        solve = jax.jit(lambda x, w: jax.vmap(
+            lambda k, xx, ww: exp["planner"](k, ssm_plan, xx, ww)
+        )(keys, x, w))
+
+    out = solve(x0s, warm)                                 # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve(x0s, warm)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    solves_per_sec = batch * iters / dt
+    feasible_frac = float(jnp.mean(out[1].astype(jnp.float32)))
+    return solves_per_sec, feasible_frac
+
+
 def _best_of(f, rounds: int = 3, reps: int = 50) -> float:
     """min-of-rounds mean latency (ms): sub-ms kernels over the host tunnel
     jitter 2-3x run-to-run; the minimum round is the least-contended one."""
@@ -544,6 +598,12 @@ def main():
     bepi_v_sps, bepi_v_feas = _safe(
         lambda: bench_batched_episodes(backend="vmapped"), (nan, nan)
     )
+    # constrained-CEM batched solves (the sampling-based solver family):
+    # lane-major vs vmapped layout A/B
+    cem_sps, cem_feas = _safe(lambda: bench_cem_solves(), (nan, nan))
+    cem_v_sps, cem_v_feas = _safe(
+        lambda: bench_cem_solves(backend="vmapped"), (nan, nan)
+    )
     chol_ms, pred_ms = _safe(bench_gp_latency, (nan, nan))
     sgp_refit_ms, sgp_pred_us = _safe(bench_large_gp, (nan, nan))
     chol_tier = _safe(bench_pallas_chol, {"pallas": nan, "xla": nan})
@@ -574,6 +634,10 @@ def main():
         "batch_episode_feasible_frac": round(bepi_feas, 3),
         "batch_episode_steps_per_sec_vmapped": round(bepi_v_sps, 1),
         "batch_episode_feasible_frac_vmapped": round(bepi_v_feas, 3),
+        "cem_solves_per_sec": round(cem_sps, 1),
+        "cem_feasible_frac": round(cem_feas, 3),
+        "cem_solves_per_sec_vmapped": round(cem_v_sps, 1),
+        "cem_feasible_frac_vmapped": round(cem_v_feas, 3),
         "gp_refit_chol_ms_n256": round(chol_ms, 3),
         "gp_predict_jac_ms_n256": round(pred_ms, 3),
         "sparse_gp_refit_ms_n10k_m256": round(sgp_refit_ms, 3),

@@ -180,10 +180,41 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
                 cfg.c_safety, cost_fn, cem_cfg, warm_mean,
             )
 
+        # Batched entry: the lane-major CEM (solvers/cem_lanes — samples x
+        # instances as ONE lane axis) when the model/objective allow it,
+        # falling back to vmapping the portable planner. Same results
+        # contract as the SQP batch_planner; the two backends draw different
+        # noise streams, so per-instance solutions are equally-good, not
+        # identical (tests/test_cem_lanes.py).
+        from safe_exploration_tpu.solvers.cem_lanes import (
+            cem_lanes_supported,
+            make_cem_lane_solver,
+        )
+
+        cem_cost_args = (
+            {"target": spec.target} if cfg.objective == "tracking" else {}
+        )
+        cem_lane_solver = make_cem_lane_solver(
+            env, k_fb, a, b, cfg.c_safety, cfg.objective, cem_cost_args,
+            cem_cfg,
+        )
+
+        def cem_batch_planner(ssm, x0s, warm, lam=None, *, key=None):
+            if cem_lanes_supported(ssm, cfg.objective):
+                return cem_lane_solver(ssm, x0s, warm, key=key)
+            k = jax.random.PRNGKey(0) if key is None else key
+            return jax.vmap(
+                lambda x, w: planner(k, ssm, x, w)
+            )(x0s, warm)
+
+        batch_planner_cem = cem_batch_planner
+
     n_duals = 0
     dual_shift = None
     batch_planner = None
     lane_batch_supported = None
+    if cfg.solver == "cem":
+        batch_planner = batch_planner_cem
     if cfg.solver == "sqp":
         _warn_ignored_knobs(
             cfg, ignored=("cem_samples", "cem_elites", "cem_iterations")
