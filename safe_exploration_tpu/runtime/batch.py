@@ -250,6 +250,8 @@ def run_batched_learning(
     calibrate: bool = True,
     mesh=None,
     backend: str | None = None,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
 ):
     """``batch`` independent FULL safe-learning runs: the reference's episodic
     loop (``episode_runner.py::run_episodic``, SURVEY.md §2.8) for every lane
@@ -268,6 +270,12 @@ def run_batched_learning(
     Returns {"series": per-episode lists (lane-mean metrics, same names as
     run_episodic), "model": final per-lane model (LaneGPSSM or stacked
     GPSSM)}.
+
+    ``ckpt_dir`` enables per-episode checkpointing of the FULL fleet state
+    (per-lane model incl. evolved buffers/factors/hypers, RNG key, episode
+    index, metric series); ``resume=True`` restarts from the latest
+    checkpoint bit-exactly — the same §5.4 guarantee as the single-run
+    ``run_episodic``, at fleet scale.
     """
     import time
 
@@ -310,7 +318,27 @@ def run_batched_learning(
         "violations": [], "feasibility_rate": [], "model_error": [],
         "mean_cost": [], "episode_time_s": [], "n_data": [],
     }
-    for ep in range(n_ep):
+    start_ep = 0
+    if resume and ckpt_dir is not None:
+        from safe_exploration_tpu.runtime.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        path = latest_checkpoint(ckpt_dir)
+        if path is not None:
+            restored = load_checkpoint(path)
+            model = restored["model"]
+            key = restored["key"]
+            start_ep = int(restored["episode"]) + 1
+            # scalar series entries come back as 0-d arrays — keep the
+            # series JSON-able plain numbers
+            series = {
+                k: [v.item() if hasattr(v, "item") else v for v in vals]
+                for k, vals in restored["series"].items()
+            }
+
+    for ep in range(start_ep, n_ep):
         key, k_reset, k_roll = jax.random.split(key, 3)
         x0s = jax.vmap(lambda k: env_reset(env, k))(
             jax.random.split(k_reset, batch)
@@ -343,16 +371,27 @@ def run_batched_learning(
         series["episode_time_s"].append(dt_ep)
         series["n_data"].append(n_data)
 
-        # between-episode per-lane hyperopt (skip after the final episode —
-        # nothing consumes it)
-        if (
-            opt_hyp_every
-            and (ep + 1) % opt_hyp_every == 0
-            and ep + 1 < n_ep
-        ):
+        # per-lane hyperopt after EVERY episode (run_episodic semantics —
+        # also what makes resume-from-checkpoint bit-exact: an interrupted
+        # run's post-episode state must not depend on how many episodes
+        # remain)
+        if opt_hyp_every and (ep + 1) % opt_hyp_every == 0:
             if backend == "lanes":
                 model = lane_restack_ssm(fit_batch(lane_unstack_ssm(model)))
             else:
                 model = fit_batch(model)
+
+        if ckpt_dir is not None:
+            from safe_exploration_tpu.runtime.checkpoint import (
+                save_checkpoint,
+            )
+
+            # post-fit state: a resume re-enters the next episode with
+            # exactly the model/key this run would use (bit-exact, §5.4)
+            save_checkpoint(
+                f"{ckpt_dir}/ckpt_{ep}.pkl",
+                {"model": model, "key": key, "episode": ep,
+                 "series": series},
+            )
 
     return {"series": series, "model": model}

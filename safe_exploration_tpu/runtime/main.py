@@ -143,10 +143,17 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
                 run_batched_learning,
             )
 
+            import os as _os
+
+            ckpt_dir = (
+                _os.path.join(out_dir, f"{cfg.name}.ckpt") if out_dir
+                else None
+            )
             res = run_batched_learning(
                 exp["env"], exp, ssm, lanes, k4, cfg.n_ep, cfg.n_steps,
                 hyp_iters=cfg.hyp_iters, mesh=mesh,
                 backend="lanes" if use_lanes else "stacked",
+                ckpt_dir=ckpt_dir, resume=resume,
             )
             series = dict(res["series"])
             roll_s = sum(series["episode_time_s"])
@@ -253,7 +260,7 @@ def main(argv: list[str] | None = None) -> int:
                         help="capture a jax.profiler trace of the run to DIR "
                              "(view with TensorBoard / xprof; SURVEY.md §5.1)")
     parser.add_argument("--resume", action="store_true",
-                        help="resume the episodic task from the latest "
+                        help="resume the episodic/batch task from the latest "
                              "checkpoint under --out (bit-exact RNG stream)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (SURVEY.md §5.2 analog)")

@@ -424,6 +424,41 @@ def test_batched_learning_loop_learns():
     assert all(v == 0 for v in res_v["series"]["violations"])
 
 
+def test_batched_learning_checkpoint_resume_bit_exact(tmp_path):
+    """Fleet-scale checkpoint/resume (§5.4 at batch scale): interrupting the
+    batched learning loop after episode k and resuming reproduces the
+    uninterrupted run bit-exactly — series AND final per-lane model."""
+    from safe_exploration_tpu.runtime.batch import run_batched_learning
+
+    dtype = jnp.float64
+    exp, ssm = _build_batch_exp(dtype, n_max=48)
+    bsz, n_ep, n_steps = 2, 3, 4
+    kw = dict(hyp_iters=10)
+
+    full = run_batched_learning(
+        exp["env"], exp, ssm, bsz, jax.random.PRNGKey(9), n_ep, n_steps,
+        **kw,
+    )
+    # interrupted run: 2 episodes with checkpointing...
+    ck = str(tmp_path / "ck")
+    run_batched_learning(
+        exp["env"], exp, ssm, bsz, jax.random.PRNGKey(9), 2, n_steps,
+        ckpt_dir=ck, **kw,
+    )
+    # ...then resume to the full horizon
+    res = run_batched_learning(
+        exp["env"], exp, ssm, bsz, jax.random.PRNGKey(9), n_ep, n_steps,
+        ckpt_dir=ck, resume=True, **kw,
+    )
+    for k in full["series"]:
+        if k == "episode_time_s":  # wall clock, not state
+            continue
+        assert full["series"][k] == res["series"][k], k
+    for lf, lr in zip(jax.tree.leaves(full["model"]),
+                      jax.tree.leaves(res["model"])):
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lr))
+
+
 def test_registered_batch_sqp_config_rides_lanes():
     """The registered pendulum_batch_sqp config (BASELINE cfg 3 on the NLP
     path) exposes the batched entries and routes its GP-SSM to the lane
