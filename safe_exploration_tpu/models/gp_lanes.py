@@ -59,6 +59,8 @@ __all__ = [
     "lane_restack_ssm",
     "lane_predict",
     "lane_append_point",
+    "lane_shrink_to_bucket",
+    "lane_expand_to",
     "lane_sharding_tree",
 ]
 
@@ -427,6 +429,63 @@ def lane_append_point(
         head=jnp.minimum(gp.head + 1, gp.n_max),
     )
     return lssm.replace(gp=new_gp)
+
+
+def lane_shrink_to_bucket(
+    lssm: LaneGPSSM, n_free: int = 0, *, min_bucket: int = 32
+) -> LaneGPSSM:
+    """Slice the per-lane padded buffers down to the smallest power-of-2
+    bucket holding the active points PLUS ``n_free`` upcoming appends
+    (host-side, between jit regions) — models/gp.gp_shrink_to_bucket for the
+    lane layout.
+
+    Per-predict cost inside the lane solve is O(n_max) mean / O(n_max^2)
+    variance REGARDLESS of how many rows are real, so an episode early in a
+    learning run pays the full capacity on every posterior evaluation;
+    bucketing recovers it at the cost of one recompile per bucket boundary
+    (O(log n_max) compiles over a whole run). ``n_free`` reserves room for
+    the episode's in-program appends. Requires the lockstep prefix layout
+    (always true for lane models — appends are gated writes at the shared
+    head); factors are sliced, not recomputed: identity padding makes every
+    factor block-diagonal across the mask boundary.
+    """
+    gp = lssm.gp
+    n_need = int(jax.device_get(gp.n_points)) + n_free
+    bucket = min_bucket
+    while bucket < n_need:
+        bucket *= 2
+    bucket = min(bucket, gp.n_max)
+    if bucket >= gp.n_max:
+        return lssm
+    return lssm.replace(gp=gp.replace(
+        x=gp.x[:bucket],
+        y=gp.y[:bucket],
+        mask=gp.mask[:bucket],
+        beta=gp.beta[:, :bucket],
+        kinv=gp.kinv[:, :bucket, :bucket],
+    ))
+
+
+def lane_expand_to(lssm: LaneGPSSM, n_max: int) -> LaneGPSSM:
+    """Pad per-lane buffers back out to capacity ``n_max`` with inactive
+    identity rows — the exact inverse of :func:`lane_shrink_to_bucket`
+    (masked-identity convention: mask 0, beta 0, K^{-1} identity on padding),
+    so an expanded model keeps appending/predicting exactly as before."""
+    gp = lssm.gp
+    nb = gp.n_max
+    if nb >= n_max:
+        return lssm
+    pad = n_max - nb
+    kinv = jnp.pad(gp.kinv, ((0, 0), (0, pad), (0, pad), (0, 0)))
+    idx = jnp.arange(nb, n_max)
+    kinv = kinv.at[:, idx, idx, :].set(1.0)
+    return lssm.replace(gp=gp.replace(
+        x=jnp.pad(gp.x, ((0, pad), (0, 0), (0, 0))),
+        y=jnp.pad(gp.y, ((0, pad), (0, 0), (0, 0))),
+        mask=jnp.pad(gp.mask, (0, pad)),
+        beta=jnp.pad(gp.beta, ((0, 0), (0, pad), (0, 0))),
+        kinv=kinv,
+    ))
 
 
 def lane_sharding_tree(mesh, lssm: LaneGPSSM, axis_name: str):

@@ -346,10 +346,22 @@ def run_batched_learning(
         ep_keys = jax.random.split(k_roll, batch)
         t0 = time.perf_counter()
         if backend == "lanes":
-            traj, model = run_batched_episodes_lanes(
-                env, exp["get_action_batch"], exp["init_state_batch"],
-                model, x0s, ep_keys, n_steps, a, b, mesh=mesh,
+            from safe_exploration_tpu.models.gp_lanes import (
+                lane_expand_to,
+                lane_shrink_to_bucket,
             )
+
+            # episode runs on a BUCKETED view (contractions sized to the
+            # active points + this episode's appends, not the padded
+            # capacity — the lane form of the stacked path's ssm_bucketed);
+            # expanded back to capacity afterwards
+            cap = model.gp.n_max
+            view = lane_shrink_to_bucket(model, n_free=n_steps)
+            traj, view = run_batched_episodes_lanes(
+                env, exp["get_action_batch"], exp["init_state_batch"],
+                view, x0s, ep_keys, n_steps, a, b, mesh=mesh,
+            )
+            model = lane_expand_to(view, cap)
             n_data = int(model.gp.n_points)
         else:
             traj, model = run_batched_episodes(

@@ -170,12 +170,16 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             t_roll = time.perf_counter()
             if use_lanes:
                 from safe_exploration_tpu.models.gp_lanes import (
+                    lane_shrink_to_bucket,
                     lane_stack_ssm,
                 )
 
                 traj, _ = run_batched_episodes_lanes(
                     exp["env"], exp["get_action_batch"],
-                    exp["init_state_batch"], lane_stack_ssm(ssm, lanes),
+                    exp["init_state_batch"],
+                    lane_shrink_to_bucket(
+                        lane_stack_ssm(ssm, lanes), n_free=cfg.n_steps
+                    ),
                     x0s, jax.random.split(k4, lanes),
                     cfg.n_steps, exp["a"], exp["b"], mesh=mesh,
                 )

@@ -424,6 +424,62 @@ def test_batched_learning_loop_learns():
     assert all(v == 0 for v in res_v["series"]["violations"])
 
 
+def test_lane_bucket_shrink_expand_roundtrip():
+    """lane_shrink_to_bucket slices factors, not recomputes (identity
+    padding => block-diagonal factors): predicts and appends on the bucketed
+    view match the full-capacity model exactly, and lane_expand_to restores
+    a model that keeps appending identically."""
+    from safe_exploration_tpu.models.gp_lanes import (
+        lane_expand_to,
+        lane_shrink_to_bucket,
+    )
+
+    _, ssm, _, _ = _make_ssm(jnp.float64, n_data=20, n_max=128)
+    bsz = 3
+    lssm = lane_stack_ssm(ssm, bsz)
+    view = lane_shrink_to_bucket(lssm, n_free=6)
+    assert view.gp.n_max == 32  # smallest pow2 >= 20 + 6
+    key = jax.random.PRNGKey(17)
+    xq = jax.random.uniform(key, (bsz, 2), jnp.float64, -0.3, 0.3)
+    uq = jax.random.uniform(jax.random.fold_in(key, 1), (bsz, 1),
+                            jnp.float64, -0.5, 0.5)
+    zq = jnp.concatenate([xq, uq], axis=-1).T
+    mu_f, var_f = lane_predict(lssm, zq)
+    mu_b, var_b = lane_predict(view, zq)
+    np.testing.assert_array_equal(np.asarray(mu_b), np.asarray(mu_f))
+    np.testing.assert_array_equal(np.asarray(var_b), np.asarray(var_f))
+
+    # appends into the bucketed view == appends into the full model
+    xs, us, ys = _rand_transitions(jax.random.PRNGKey(19), bsz, 6,
+                                   jnp.float64)
+    for t in range(6):
+        view = lane_append_point(view, xs[t], us[t], ys[t])
+        lssm = lane_append_point(lssm, xs[t], us[t], ys[t])
+    mu_b, var_b = lane_predict(view, zq)
+    mu_f, var_f = lane_predict(lssm, zq)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_f),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_f),
+                               rtol=1e-10, atol=1e-15)
+
+    # expansion restores full capacity with intact padding invariants:
+    # further appends agree with the never-bucketed model
+    back = lane_expand_to(view, 128)
+    assert back.gp.n_max == 128
+    xs2, us2, ys2 = _rand_transitions(jax.random.PRNGKey(23), bsz, 2,
+                                      jnp.float64)
+    for t in range(2):
+        back = lane_append_point(back, xs2[t], us2[t], ys2[t])
+        lssm = lane_append_point(lssm, xs2[t], us2[t], ys2[t])
+    mu_b, var_b = lane_predict(back, zq)
+    mu_f, var_f = lane_predict(lssm, zq)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_f),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_f),
+                               rtol=1e-10, atol=1e-15)
+    assert int(back.gp.n_points) == int(lssm.gp.n_points) == 28
+
+
 def test_batched_learning_checkpoint_resume_bit_exact(tmp_path):
     """Fleet-scale checkpoint/resume (§5.4 at batch scale): interrupting the
     batched learning loop after episode k and resuming reproduces the
