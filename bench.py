@@ -305,6 +305,44 @@ def bench_cem_solves(batch: int = 256, iters: int = 5, n_max: int = 64,
     return solves_per_sec, feasible_frac
 
 
+def bench_cem_single(iters: int = 30, n_max: int = 64, n_data: int = 48,
+                     n_safe: int = 5, backend: str = "lanes"):
+    """SINGLE-instance CEM solve latency (ms) — the episodic-runner regime
+    (BASELINE cfg 5: one quadrotor instance per control step). Even at B=1
+    the lane backend has work for the vector lanes: the M samples ARE the
+    lanes. backend="portable" is the vmap-over-samples planner. This A/B
+    decides the cem_backend config default."""
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+
+    dtype = jnp.float32
+    _, ssm, x0s, _ = build(8, n_max, n_data, n_safe, dtype)
+    cfg = ExperimentConfig(
+        name="bcem1", solver="cem", n_safe=n_safe, n_max=n_max,
+        cem_samples=128, cem_elites=16, cem_iterations=6,
+        cem_backend="lanes" if backend == "lanes" else "portable",
+    )
+    exp = build_experiment(cfg, dtype=dtype)
+    ssm_plan = ssm_bucketed(ssm)
+    x0 = x0s[0]
+    warm = jnp.zeros((n_safe, 1), dtype)
+    solve = jax.jit(
+        lambda k, x, w: exp["planner"](k, ssm_plan, x, w)
+    )
+    key = jax.random.PRNGKey(0)
+    out = solve(key, x0, warm)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = solve(jax.random.fold_in(key, i), x0, warm)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    return ms, float(out[1])
+
+
 def _best_of(f, rounds: int = 3, reps: int = 50) -> float:
     """min-of-rounds mean latency (ms): sub-ms kernels over the host tunnel
     jitter 2-3x run-to-run; the minimum round is the least-contended one."""
@@ -604,6 +642,11 @@ def main():
     cem_v_sps, cem_v_feas = _safe(
         lambda: bench_cem_solves(backend="vmapped"), (nan, nan)
     )
+    # single-instance CEM latency (episodic regime) — the cem_backend A/B
+    cem1_ms, _ = _safe(lambda: bench_cem_single(), (nan, nan))
+    cem1_v_ms, _ = _safe(
+        lambda: bench_cem_single(backend="portable"), (nan, nan)
+    )
     chol_ms, pred_ms = _safe(bench_gp_latency, (nan, nan))
     sgp_refit_ms, sgp_pred_us = _safe(bench_large_gp, (nan, nan))
     chol_tier = _safe(bench_pallas_chol, {"pallas": nan, "xla": nan})
@@ -638,6 +681,8 @@ def main():
         "cem_feasible_frac": round(cem_feas, 3),
         "cem_solves_per_sec_vmapped": round(cem_v_sps, 1),
         "cem_feasible_frac_vmapped": round(cem_v_feas, 3),
+        "cem_single_ms_lanes": round(cem1_ms, 3),
+        "cem_single_ms_portable": round(cem1_v_ms, 3),
         "gp_refit_chol_ms_n256": round(chol_ms, 3),
         "gp_predict_jac_ms_n256": round(pred_ms, 3),
         "sparse_gp_refit_ms_n10k_m256": round(sgp_refit_ms, 3),

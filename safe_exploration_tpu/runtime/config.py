@@ -87,6 +87,11 @@ class ExperimentConfig:
     cem_samples: int = 128
     cem_elites: int = 16
     cem_iterations: int = 6
+    # single-instance CEM planner backend: "portable" (vmap over samples) |
+    # "lanes" (solvers/cem_lanes with B=1 — the M samples fill the TPU
+    # vector lanes; same algorithm, different noise stream). The BATCHED
+    # entries always auto-dispatch to the lane backend where supported.
+    cem_backend: str = "portable"
 
     # SQP knobs
     sqp_outer: int = 12
@@ -173,12 +178,34 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         )
         warm_len = cem_warm_len(cem_cfg)
 
-        def planner(key, ssm, x0, warm_mean):
+        def _planner_portable(key, ssm, x0, warm_mean):
             return cem_plan(
                 key, ssm, x0, k_fb, a, b, spec.u_min, spec.u_max,
                 spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
                 cfg.c_safety, cost_fn, cem_cfg, warm_mean,
             )
+
+        if cfg.cem_backend not in ("portable", "lanes"):
+            raise ValueError(f"unknown cem_backend {cfg.cem_backend!r}")
+
+        if cfg.cem_backend == "lanes":
+            # single-instance planner through the lane backend: B=1, the M
+            # samples fill the vector lanes (falls back per-model at call
+            # time outside the supported envelope)
+            from safe_exploration_tpu.solvers.cem_lanes import (
+                cem_lanes_supported as _cls,
+            )
+
+            def planner(key, ssm, x0, warm_mean):
+                if not _cls(ssm, cfg.objective):
+                    return _planner_portable(key, ssm, x0, warm_mean)
+                k_ff, feas, viol, info = cem_lane_solver(
+                    ssm, x0[None], warm_mean[None], key=key
+                )
+                info1 = {k: v[0] for k, v in info.items()}
+                return k_ff[0], feas[0], viol[0], info1
+        else:
+            planner = _planner_portable
 
         # Batched entry: the lane-major CEM (solvers/cem_lanes — samples x
         # instances as ONE lane axis) when the model/objective allow it,
@@ -217,7 +244,8 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         batch_planner = batch_planner_cem
     if cfg.solver == "sqp":
         _warn_ignored_knobs(
-            cfg, ignored=("cem_samples", "cem_elites", "cem_iterations")
+            cfg, ignored=("cem_samples", "cem_elites", "cem_iterations",
+                          "cem_backend")
         )
         from functools import partial
 

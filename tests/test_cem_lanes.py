@@ -172,3 +172,40 @@ def test_cem_batch_planner_dispatch():
     u, state, binfo = exp["get_action_batch"](state, ssm, x0s)
     assert u.shape == (2, 1)
     assert binfo["feasible"].shape == (2,)
+
+
+def test_cem_backend_lanes_single_instance():
+    """cem_backend="lanes" routes the SINGLE-instance planner through the
+    lane backend (B=1, the M samples fill the lanes) with the portable
+    planner's exact return contract; unsupported models fall back."""
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+
+    dtype = jnp.float32
+    cfg = ExperimentConfig(
+        name="cem_lane_single", solver="cem", n_safe=3, n_max=40,
+        cem_samples=32, cem_elites=8, cem_iterations=3,
+        cem_backend="lanes",
+    )
+    exp = build_experiment(cfg, dtype=dtype)
+    env, ssm = _make_setup(dtype)[:2]
+    x0 = jnp.asarray([0.05, 0.1], dtype)
+    warm = jnp.zeros((3, 1), dtype)
+    k_ff, feas, viol, info = jax.jit(exp["planner"])(
+        jax.random.PRNGKey(0), ssm, x0, warm
+    )
+    assert k_ff.shape == (3, 1)
+    assert feas.shape == () and viol.shape == ()
+    assert info["warm_next"].shape == (3, 1)
+    assert bool(jnp.isfinite(viol))
+    # the episodic state machine consumes it (make_safempc contract)
+    state = exp["init_state"]()
+    u, state, ainfo = exp["get_action"](jax.random.PRNGKey(1), state, ssm, x0)
+    assert u.shape == (1,)
+
+    # unsupported model (ff factors) -> portable fallback, same contract
+    ssm_ff = ssm.replace(gp=ssm.gp.replace(precision="ff"))
+    k2, f2, v2, _ = exp["planner"](jax.random.PRNGKey(0), ssm_ff, x0, warm)
+    assert k2.shape == (3, 1) and f2.shape == () and v2.shape == ()
