@@ -478,6 +478,18 @@ register_config(
         n_safe=5, n_perf=12, c_safety=1.5, cem_samples=256,
     )
 )
+# BASELINE cfg 5's plant on the lane-major NLP pipeline: 6D quadrotor batch
+# learning runs (3-step tube + 5-step joint perf trajectory) — the lane
+# algebra at n_s=6 (6x6 lane ellipsoid blocks, 6-var Newton systems)
+register_config(
+    ExperimentConfig(
+        name="quadrotor_batch_sqp", task="batch", env="quadrotor",
+        solver="sqp", kern_types=("rbf",), batch_lanes=64,
+        n_safe=3, n_perf=5, r_shared=1, n_max=96, c_safety=1.5,
+        n_steps=8, n_init_samples=40, n_ep=2, log_noise=-4.5,
+        sqp_outer=4, sqp_inner=3,
+    )
+)
 # uncertainty-estimation scenario (SURVEY.md §2.8)
 register_config(
     ExperimentConfig(name="pendulum_uncertainty", task="uncertainty", n_steps=20)

@@ -39,9 +39,7 @@ from safe_exploration_tpu.solvers.cem import CemConfig, cem_warm_len
 from safe_exploration_tpu.solvers.sqp_lanes import (
     _cost_lanes,
     _dist_lanes,
-    _pack_y,
-    _rollout_lanes,
-    _rollout_perf_lanes,
+    _rollout_y_lanes,
 )
 
 __all__ = ["cem_lanes_supported", "cem_plan_lanes", "make_cem_lane_solver"]
@@ -120,16 +118,8 @@ def cem_plan_lanes(
         x0_rows = [x0_cols[i] for i in range(n_s)]
 
         def score(u_flat):
-            perf = (
-                _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, tube_cfg,
-                                    r, n_u, t_len)
-                if cfg.n_perf > 0 else None
-            )
-            y = _pack_y(
-                *_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b,
-                                tube_cfg, bmat),
-                perf=perf,
-            )
+            y = _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b,
+                                 tube_cfg, bmat, r, n_u)
             g = _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs,
                             h_mat_safe, h_safe)
             viol = jnp.sum(jnp.maximum(g, 0.0), axis=0)

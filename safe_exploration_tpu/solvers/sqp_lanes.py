@@ -308,6 +308,143 @@ def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     return p_traj, q_traj, var_traj
 
 
+def _max_eig_lanes_array(m, iters: int = 30):
+    """Array-form dominant eigenvalue of lane matrices m (n, n, B) — the
+    same trace-normalized squaring + Rayleigh refinement as
+    :func:`_max_eig_lanes`, with closed forms at n<=2."""
+    n = m.shape[0]
+    if n == 1:
+        return jnp.maximum(m[0, 0], 0.0)
+    if n == 2:
+        tr = m[0, 0] + m[1, 1]
+        det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+        disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+        return jnp.maximum(0.5 * (tr + disc), 0.0)
+    trace = jnp.einsum("iib->b", m)
+    scale = trace / n + 1e-30
+    mn = m / scale[None, None, :]
+    n_sq = 3
+    n_refine = max(2, (iters + (1 << n_sq) - 1) // (1 << n_sq))
+    for _ in range(n_sq):
+        mn = jnp.einsum("ikb,kjb->ijb", mn, mn)
+        s = jnp.einsum("iib->b", mn) / n + 1e-30
+        mn = mn / s[None, None, :]
+    v0 = 1.0 + 1e-3 * jnp.arange(n, dtype=m.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+    v = jnp.broadcast_to(v0[:, None], (n, m.shape[-1])).astype(m.dtype)
+    for _ in range(n_refine):
+        w = jnp.einsum("ijb,jb->ib", mn, v)
+        v = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-30)
+    mv = jnp.einsum("ijb,jb->ib", m, v)
+    num = jnp.sum(v * mv, axis=0)
+    den = jnp.sum(v * v, axis=0) + 1e-30
+    return jnp.maximum(num / den, 0.0)
+
+
+def _sum_two_ellipsoids_q_array(q1, q2):
+    """Array form of :func:`_sum_two_ellipsoids_q` on (n, n, B) lanes."""
+    eps = 1e-30
+    t1 = jnp.einsum("iib->b", q1) + eps
+    t2 = jnp.einsum("iib->b", q2) + eps
+    c = jnp.sqrt(t1 / t2)[None, None, :]
+    return (1.0 + 1.0 / c) * q1 + (1.0 + c) * q2
+
+
+def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
+    """ARRAY-form lane tube rollout — identical math to
+    :func:`_rollout_lanes`, with the tiny-matrix algebra as batch-LAST
+    (n_s, n_s, B) einsums instead of Python-scalar unrolls.
+
+    WHY TWO FORMS. The scalar-unrolled form emits O(n_s^2) HLO instructions
+    per matrix op; the whole GN solve traces ~10 rollouts per Newton step,
+    and at n_s >= 4 the graph grows past what XLA compiles in reasonable
+    time (measured: n_s=2 seconds, n_s=4 ~13 min, n_s=6 does not finish on
+    XLA:CPU). This form keeps every array batch-last — lanes still fill the
+    (8, 128) vector registers, the leading n_s/n_s dims ride the sublanes —
+    at a constant trace size, so 4D/6D envs (cartpole, quadrotor) get the
+    lane backend too. n_s <= 2 keeps the scalar form whose throughput is
+    the measured 4.6-5.7x (bench.py); f64 equivalence of the two forms is
+    pinned in tests/test_sqp_lanes.py.
+
+    Returns the PACKED y directly ((ny, B), the _pack_y layout).
+    """
+    t_len = cfg.n_safe
+    n_s = a.shape[0]
+    n_u = k_fb.shape[0]
+    noise = jnp.exp(2.0 * ssm.gp.log_noise)
+    noise = noise if noise.ndim == 2 else noise[:, None]    # (e, 1|B)
+    c_safety = cfg.c_safety
+    eye = jnp.eye(n_s, dtype=a.dtype)
+
+    def diag_q(hw):                                         # (n_s, B) -> q
+        return eye[:, :, None] * (n_s * hw * hw)[:, None, :]
+
+    kff = u_flat[:n_u]
+    z = jnp.concatenate([x0, kff], axis=0)                  # (d_in, B)
+    mu, var = _gp_predict_lanes(ssm, z, want_jac=False)
+    p = a @ x0 + b @ kff + mu
+    hw0 = c_safety * jnp.sqrt(var + noise)
+    q = diag_q(hw0)
+    p_traj, q_traj, var_traj = [p], [q], [var]
+
+    l_mu = ssm.l_mu if ssm.l_mu.ndim == 2 else ssm.l_mu[:, None]
+    l_sigma = (
+        ssm.l_sigma if ssm.l_sigma.ndim == 2 else ssm.l_sigma[:, None]
+    )
+    for t in range(1, t_len):
+        kff = u_flat[t * n_u:(t + 1) * n_u]
+        z = jnp.concatenate([p, kff], axis=0)
+        mu, var, jac = _gp_predict_lanes(ssm, z, want_jac=True)
+        p = a @ p + b @ kff + mu
+        # H = a + J_x + (b + J_u) k_fb  (onestep_reachability step 3)
+        h = (
+            a[:, :, None] + jac[:, :n_s, :]
+            + jnp.einsum("ikb,kj->ijb", b[:, :, None] + jac[:, n_s:, :],
+                         k_fb)
+        )
+        q_lin = jnp.einsum("ikb,klb,jlb->ijb", h, q, h)
+        qb = jnp.einsum("ikb,kj->ijb", q, bmat)
+        r_sqr = _max_eig_lanes_array(qb)
+        r = jnp.sqrt(jnp.maximum(r_sqr, 0.0))
+        q_taylor = diag_q(0.5 * l_mu * r_sqr[None, :])
+        hw_c = c_safety * (jnp.sqrt(var + noise) + l_sigma * r[None, :])
+        q_conf = diag_q(hw_c)
+        q = _sum_two_ellipsoids_q_array(
+            _sum_two_ellipsoids_q_array(q_lin, q_conf), q_taylor
+        )
+        p_traj.append(p)
+        q_traj.append(q)
+        var_traj.append(var)
+    return jnp.concatenate(
+        [jnp.concatenate(p_traj, axis=0)]
+        + [qq.reshape(n_s * n_s, -1) for qq in q_traj]
+        + [jnp.concatenate(var_traj, axis=0)]
+    )
+
+
+def _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat, r, n_u):
+    """Packed tube(+perf) rollout, choosing the rollout form by state
+    dimension (see _rollout_lanes_array docstring for the trace-size
+    rationale)."""
+    t_len = cfg.n_safe
+    n_s = a.shape[0]
+    perf = (
+        _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, cfg, r, n_u, t_len)
+        if cfg.n_perf > 0 else None
+    )
+    if n_s <= 2:
+        return _pack_y(
+            *_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat),
+            perf=perf,
+        )
+    y = _rollout_lanes_array(
+        ssm, u_flat, jnp.stack(x0_rows), k_fb, a, b, cfg, bmat
+    )
+    if perf is None:
+        return y
+    return jnp.concatenate([y, _pack_y([], [], [], perf=perf)])
+
+
 def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len):
     """Performance-trajectory stages, lane-major.
 
@@ -395,7 +532,27 @@ def _unpack_y(y, t_len, n_s, n_perf=0):
 
 def _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs, h_mat_safe, h_safe):
     """Safety margins (reachability/safety.lin_ellipsoid_safety_distance) for
-    every stage + terminal, stacked (n_con, B)."""
+    every stage + terminal, stacked (n_con, B). Array form at n_s > 2 (same
+    trace-size rationale as _rollout_lanes_array)."""
+    if n_s > 2:
+        p = y[: t_len * n_s].reshape(t_len, n_s, -1)
+        q = y[t_len * n_s: t_len * n_s * (1 + n_s)].reshape(
+            t_len, n_s, n_s, -1
+        )
+
+        def margins(p_t, q_t, h, hv):
+            sup = jnp.sqrt(jnp.maximum(
+                jnp.einsum("ij,tjkb,ik->tib", h, q_t, h), 0.0
+            ))
+            lin = jnp.einsum("ij,tjb->tib", h, p_t)
+            return (lin + sup - hv[None, :, None]).reshape(
+                -1, p_t.shape[-1]
+            )
+
+        return jnp.concatenate([
+            margins(p, q, h_mat_obs, h_obs),
+            margins(p[-1:], q[-1:], h_mat_safe, h_safe),
+        ])
     p_traj, q_traj, _ = _unpack_y(y, t_len, n_s)
 
     def margins(p, q, h_mat, h_vec):
@@ -538,13 +695,8 @@ def solve_safempc_lanes(
     x0_rows = [x0[i] for i in range(n_s)]
 
     def rollout_y(u_flat):
-        perf = (
-            _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, cfg, r, n_u,
-                                t_len)
-            if cfg.n_perf > 0 else None
-        )
-        return _pack_y(*_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b,
-                                       cfg, bmat), perf=perf)
+        return _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg,
+                                bmat, r, n_u)
 
     def dist(y):
         return _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs,

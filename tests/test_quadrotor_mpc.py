@@ -108,6 +108,31 @@ def test_registered_quadrotor_config_episodic_feasible():
     assert s["feasibility_rate"][0] >= 0.8, s["feasibility_rate"]
 
 
+def test_registered_quadrotor_batch_sqp_rides_lanes():
+    """The 6D quadrotor batch config runs the LANE-MAJOR pipeline end to end
+    (6x6 lane ellipsoid algebra, 6-var Newton systems, joint perf
+    trajectory, per-lane online learning): routed to the lane backend, zero
+    violations, healthy feasibility at fleet scale (tiny sizes here)."""
+    import dataclasses
+
+    from safe_exploration_tpu.runtime.config import CONFIGS
+    from safe_exploration_tpu.runtime.main import run_experiment
+
+    cfg5 = CONFIGS["quadrotor_batch_sqp"]
+    assert cfg5.task == "batch" and cfg5.solver == "sqp"
+    assert cfg5.n_perf == 5  # joint perf trajectory on the lane backend
+    cfg = dataclasses.replace(
+        cfg5, batch_lanes=3, n_steps=4, n_ep=2, n_init_samples=30,
+        n_max=48, hyp_iters=25,
+    )
+    out = run_experiment(cfg, dtype=jnp.float64)
+    s = out["series"]
+    assert s["lane_backend"] == [1, 1]
+    assert sum(s["violations"]) == 0
+    assert min(s["feasibility_rate"]) >= 0.8, s["feasibility_rate"]
+    assert s["n_data"] == [34, 38]
+
+
 def test_registered_cfg5_cem_objective_rides_12_step_perf_trajectory(quad):
     """VERDICT r2 missing #3: the registered BASELINE cfg 5 advertises a
     12-step performance trajectory but the CEM build path used to ignore
