@@ -467,6 +467,17 @@ register_config(
         solver="sqp", n_safe=10, n_perf=10, r_shared=2, c_safety=2.0,
     )
 )
+# config 2 at fleet scale: cartpole joint safety+perf learning runs on the
+# lane-major pipeline (n_s=4 rides the array-form lane rollout)
+register_config(
+    ExperimentConfig(
+        name="cartpole_batch_sqp", task="batch", env="cartpole",
+        solver="sqp", kern_types=("rbf",), batch_lanes=128,
+        n_safe=6, n_perf=10, r_shared=2, c_safety=2.0, n_max=128,
+        n_steps=16, n_init_samples=40, n_ep=4,
+        sqp_outer=4, sqp_inner=3,
+    )
+)
 # BASELINE.json config 5: 6D quadrotor, joint safety+performance, long horizon.
 # Long-horizon lookahead rides the 12-step performance trajectory; the safety
 # tube is kept short (recursive ellipsoid sums compound the closed loop's

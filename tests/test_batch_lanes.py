@@ -531,6 +531,31 @@ def test_registered_batch_sqp_config_rides_lanes():
     assert exp["lane_batch_supported"](lane_stack_ssm(ssm, 2))
 
 
+def test_registered_cartpole_batch_sqp_rides_lanes():
+    """BASELINE cfg 2's plant at fleet scale: the registered cartpole batch
+    config (n_s=4 — the array-form lane rollout) runs the lane-major
+    learning pipeline end to end with zero violations."""
+    import dataclasses
+
+    from safe_exploration_tpu.runtime.config import CONFIGS
+    from safe_exploration_tpu.runtime.main import run_experiment
+
+    cfg2 = CONFIGS["cartpole_batch_sqp"]
+    assert cfg2.task == "batch" and cfg2.solver == "sqp"
+    cfg = dataclasses.replace(
+        cfg2, batch_lanes=3, n_steps=3, n_ep=2, n_init_samples=32,
+        n_max=48, hyp_iters=40, n_safe=3, n_perf=6,
+    )
+    out = run_experiment(cfg, dtype=jnp.float64)
+    s = out["series"]
+    assert s["lane_backend"] == [1, 1]
+    # the SAFETY contract holds from step one (fallback chain), and the
+    # learned model makes the tube feasible by the second episode — with a
+    # 32-point initial fit the first episode may run fully on the fallback
+    assert sum(s["violations"]) == 0
+    assert s["feasibility_rate"][-1] >= 0.8, s["feasibility_rate"]
+
+
 def test_batch_planner_rejects_lane_ssm_on_unsupported_config():
     """The config seam raises a CLEAR error when a per-lane model falls
     outside the lane backend's coverage (here: "ff" precision factors)."""
