@@ -309,11 +309,18 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
             )(x0s, warm, lam)
 
         def lane_batch_supported(ssm):
-            """Whether the batched entries (planner AND episode runner) ride
-            the lane-major backend for this model — runtime/main's batch task
-            uses it to pick run_batched_episodes_lanes over the vmapped
-            runner."""
-            return lanes_supported(ssm, sqp_cfg, cfg.objective)
+            """Whether the batched EPISODE RUNNER rides the lane-major
+            backend for this model — runtime/main's batch task uses it to
+            pick run_batched_episodes_lanes over the vmapped runner. The
+            lane episode runner needs per-lane exact-GP buffers
+            (models/gp_lanes.lane_stack_ssm), so it is exact-GPSSM only;
+            sparse models still ride the lane batch PLANNER (the solve),
+            just not the per-lane online-append episode loop."""
+            from safe_exploration_tpu.models.ssm import GPSSM
+
+            return isinstance(ssm, GPSSM) and lanes_supported(
+                ssm, sqp_cfg, cfg.objective
+            )
     elif cfg.solver != "cem":
         raise ValueError(f"unknown solver {cfg.solver}")
 

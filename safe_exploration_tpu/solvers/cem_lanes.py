@@ -34,11 +34,13 @@ import jax
 import jax.numpy as jnp
 
 from safe_exploration_tpu.models.gp_lanes import _KERNEL_PARTS
+from safe_exploration_tpu.models.sparse_gp import SparseGPSSM
 from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.solvers.cem import CemConfig, cem_warm_len
 from safe_exploration_tpu.solvers.sqp_lanes import (
     _cost_lanes,
     _dist_lanes,
+    _gp_of,
     _rollout_y_lanes,
 )
 
@@ -55,12 +57,15 @@ class _TubeCfg(NamedTuple):
 
 def cem_lanes_supported(ssm, cost_kind: str) -> bool:
     """Whether the lane CEM covers this model/objective — the model envelope
-    of the lane SQP (shared GP-SSM; per-lane LaneGPSSM models would need the
-    buffers tiled across the M sample lanes and stay on the vmapped path)."""
+    of the lane SQP: shared exact GP-SSM or inducing-point SparseGPSSM
+    (per-lane LaneGPSSM models would need the buffers tiled across the M
+    sample lanes and stay on the vmapped path)."""
+    if not isinstance(ssm, (GPSSM, SparseGPSSM)):
+        return False
+    gp = _gp_of(ssm)
     return (
-        isinstance(ssm, GPSSM)
-        and all(kt in _KERNEL_PARTS for kt in ssm.gp.kern_types)
-        and ssm.gp.precision == "f32"
+        all(kt in _KERNEL_PARTS for kt in gp.kern_types)
+        and getattr(gp, "precision", "f32") == "f32"
         and cost_kind in ("tracking", "exploration")
     )
 

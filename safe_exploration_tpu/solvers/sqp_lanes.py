@@ -45,6 +45,7 @@ from safe_exploration_tpu.models.gp_lanes import (
     LaneGPSSM,
     lane_predict,
 )
+from safe_exploration_tpu.models.sparse_gp import SparseGPSSM
 from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.solvers.sqp import SqpConfig, _solve_spd_unrolled
 
@@ -81,7 +82,14 @@ def _const_rows(mat: jax.Array):
 # ----------------------------------------------------------------- GP (lanes)
 
 
-def _gp_predict_lanes(ssm: GPSSM, z: jax.Array, *, want_jac: bool):
+def _gp_of(ssm):
+    """The underlying GP state of any lane-capable SSM family: exact
+    (GPSSM.gp), per-lane exact (LaneGPSSM.gp) or inducing-point
+    (SparseGPSSM.sgp). All three expose kern_types/params/log_noise/n_out."""
+    return ssm.sgp if isinstance(ssm, SparseGPSSM) else ssm.gp
+
+
+def _gp_predict_lanes(ssm, z: jax.Array, *, want_jac: bool):
     """Posterior mean/var (+ closed-form mean Jacobian) at B query lanes.
 
     ``z``: (d_in, B) RAW state-action inputs (lane-last). Mirrors
@@ -94,31 +102,44 @@ def _gp_predict_lanes(ssm: GPSSM, z: jax.Array, *, want_jac: bool):
     For a :class:`LaneGPSSM` (per-lane evolving models, runtime/batch lane
     episodes) each lane queries ITS OWN posterior — dispatched to
     models/gp_lanes.lane_predict, same contract.
+
+    For a :class:`SparseGPSSM` (inducing-point tier, BASELINE cfg 4 —
+    reference ``SimpleGPModel`` with a ``Z`` set, SURVEY.md §2.3) the same
+    body runs over the m inducing rows: mean weights are ``alpha``
+    (= sparse_gp_predict), the variance quadratic form contracts against the
+    precomputed ``vmat`` and no mask is needed (inducing rows are all
+    active) — parity with sparse_gp_predict_mean_jac pinned in
+    tests/test_sqp_lanes_sparse.py.
     """
     if isinstance(ssm, LaneGPSSM):
         return lane_predict(ssm, z, want_jac=want_jac)
-    gp = ssm.gp
+    sparse = isinstance(ssm, SparseGPSSM)
+    gp = _gp_of(ssm)
+    xr = gp.z if sparse else gp.x          # support rows: inducing | data
+    w_mean = gp.alpha if sparse else gp.beta
+    w_var = gp.vmat if sparse else gp.kinv
+    mask = None if sparse else gp.mask
     zz = z if ssm.z_scale is None else z / ssm.z_scale[:, None]
     eps = jnp.finfo(zz.dtype).eps
     mus, vars_, jacs = [], [], []
     for d in range(gp.n_out):
         params = gp.params[d]
         parts = _KERNEL_PARTS[gp.kern_types[d]]
-        kv = sum(
-            _kv_part_shared(p, params, gp.x, zz) for p in parts
-        ) * gp.mask[:, None]                               # (n, B)
-        mus.append(gp.beta[d] @ kv)                        # (B,)
+        kv = sum(_kv_part_shared(p, params, xr, zz) for p in parts)  # (n, B)
+        if mask is not None:
+            kv = kv * mask[:, None]
+        mus.append(w_mean[d] @ kv)                         # (B,)
         kzz = sum(_kzz_part_shared(p, params, zz) for p in parts)
         floor = jnp.maximum(8.0 * eps * kzz, 1e-12)
         vars_.append(
-            jnp.maximum(kzz - jnp.sum(kv * (gp.kinv[d] @ kv), axis=0), floor)
+            jnp.maximum(kzz - jnp.sum(kv * (w_var[d] @ kv), axis=0), floor)
         )
         if want_jac:
             # closed form (kernels.weighted_mean_jac, matmul lane form);
             # the weights carry the mask, so per-part kv rows need none
-            c = gp.mask * gp.beta[d]                       # (n,)
+            c = w_mean[d] if mask is None else mask * w_mean[d]
             jac = sum(
-                _jac_part_shared(p, params, gp.x, zz, c) for p in parts
+                _jac_part_shared(p, params, xr, zz, c) for p in parts
             )                                              # (d_in, B)
             if ssm.z_scale is not None:
                 jac = jac / ssm.z_scale[:, None]
@@ -242,7 +263,7 @@ def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     t_len = cfg.n_safe
     n_s = len(x0)
     n_u = k_fb.shape[0]
-    noise = jnp.exp(2.0 * ssm.gp.log_noise)                # (e,)
+    noise = jnp.exp(2.0 * _gp_of(ssm).log_noise)           # (e,)
     a_rows = _const_rows(a)
     b_rows = _const_rows(b)
     kfb_rows = _const_rows(k_fb)
@@ -371,7 +392,7 @@ def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     t_len = cfg.n_safe
     n_s = a.shape[0]
     n_u = k_fb.shape[0]
-    noise = jnp.exp(2.0 * ssm.gp.log_noise)
+    noise = jnp.exp(2.0 * _gp_of(ssm).log_noise)
     noise = noise if noise.ndim == 2 else noise[:, None]    # (e, 1|B)
     c_safety = cfg.c_safety
     eye = jnp.eye(n_s, dtype=a.dtype)
@@ -841,12 +862,16 @@ def solve_safempc_lanes(
 
 def lanes_supported(ssm, cfg: SqpConfig, cost_kind: str) -> bool:
     """Whether the lane backend covers this configuration. ``ssm`` may be a
-    shared GPSSM (one model, B initial states) or a LaneGPSSM (B per-lane
-    models — the batched online-learning episodes of runtime/batch)."""
+    shared GPSSM (one model, B initial states), a LaneGPSSM (B per-lane
+    models — the batched online-learning episodes of runtime/batch) or a
+    SparseGPSSM (inducing-point tier — its solve-free alpha/vmat posterior
+    is natively f32 and rides the same lane contractions)."""
+    if not isinstance(ssm, (GPSSM, LaneGPSSM, SparseGPSSM)):
+        return False
+    gp = _gp_of(ssm)
     return (
-        isinstance(ssm, (GPSSM, LaneGPSSM))
-        and all(kt in _KERNEL_PARTS for kt in ssm.gp.kern_types)
-        and ssm.gp.precision == "f32"
+        all(kt in _KERNEL_PARTS for kt in gp.kern_types)
+        and getattr(gp, "precision", "f32") == "f32"
         and not cfg.opt_k_fb
         and cfg.hessian == "gn"
         and cfg.linesearch == "exact"
