@@ -251,6 +251,80 @@ def bench_batched_episodes(batch: int = 256, n_steps: int = 16,
     return steps_per_sec, feas
 
 
+def bench_sparse_solves(batch: int = 512, iters: int = 10, n_data: int = 10240,
+                        m: int = 256, n_safe: int = 5, backend: str = "lanes"):
+    """Cold batched SQP solves over a BASELINE-cfg-4-SCALE sparse model:
+    N=10k training points, m=256 inducing — the inducing-point tier INSIDE
+    the fleet-solve hot loop (round-3 snapshot work: SparseGPSSM rides the
+    lane-major backend; reference GPy ``SparseGPRegression`` inside
+    ``safempc_simple``, SURVEY.md §2.3/§2.5). Per-solve posterior cost is
+    O(m) mean / O(m^2) variance regardless of N. backend="vmapped" is the
+    portable layout A/B, mirroring the exact-GP rows above.
+    Returns (solves_per_sec, feasible_frac)."""
+    from safe_exploration_tpu.envs import env_step
+    from safe_exploration_tpu.models.sparse_gp import (
+        make_sparse_gp_ssm,
+        sparse_gp_refit,
+    )
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+
+    dtype = jnp.float32
+    # c_safety=1.8, not the headline's 2.0: the VFE variance floor is
+    # x0-independent (kzz - qzz > 0 even on data), so at 2.0 the tube is
+    # infeasible for EVERY x0 on this distribution (measured cliff pinned in
+    # tests/test_sqp_lanes_sparse.py)
+    cfg = ExperimentConfig(
+        name="bsparse", solver="sqp", n_safe=n_safe, n_max=n_data,
+        c_safety=1.8, sqp_outer=14, sqp_inner=3, sqp_polish=6, sqp_rescue=4,
+    )
+    exp = build_experiment(cfg, dtype=dtype)
+    env, a, b = exp["env"], exp["a"], exp["b"]
+    key = jax.random.PRNGKey(0)
+    xs = (
+        jax.random.uniform(key, (n_data, 2), dtype, -1.0, 1.0)
+        * jnp.asarray([0.3, 1.0], dtype)
+    )
+    us = jax.random.uniform(jax.random.fold_in(key, 1), (n_data, 1), dtype,
+                            -1.0, 1.0)
+    _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+    resid = x_next - (xs @ a.T + us @ b.T)
+    ssm = make_sparse_gp_ssm(
+        exp["kern_types"], xs, us, resid, n_max=n_data, n_inducing=m,
+        l_mu=jnp.full((2,), 0.05, dtype), l_sigma=jnp.full((2,), 0.02, dtype),
+        log_noise=-4.0,
+    )
+    params = tuple(
+        {**p, "log_sf": jnp.asarray(-3.0, dtype)} for p in ssm.sgp.params
+    )
+    ssm = ssm.replace(sgp=sparse_gp_refit(ssm.sgp.replace(params=params)))
+    x0s = (
+        jax.random.uniform(jax.random.fold_in(key, 2), (batch, 2), dtype,
+                           -1.0, 1.0)
+        * jnp.asarray([0.15, 0.4], dtype)
+    )
+    warm = jnp.zeros((batch, n_safe, 1), dtype)
+    ssm_plan = ssm_bucketed(ssm)
+    if backend == "lanes":
+        bp = exp["batch_planner"]
+        solve = jax.jit(lambda x, w: bp(ssm_plan, x, w))
+    else:
+        solve = jax.jit(jax.vmap(
+            lambda x, w: exp["planner"](jax.random.PRNGKey(0), ssm_plan, x, w)
+        ))
+    out = solve(x0s, warm)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve(x0s, warm)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, float(jnp.mean(out[1].astype(jnp.float32)))
+
+
 def bench_cem_solves(batch: int = 256, iters: int = 5, n_max: int = 64,
                      n_data: int = 48, n_safe: int = 5,
                      backend: str = "lanes"):
@@ -636,6 +710,12 @@ def main():
     bepi_v_sps, bepi_v_feas = _safe(
         lambda: bench_batched_episodes(backend="vmapped"), (nan, nan)
     )
+    # sparse (inducing-point, BASELINE-cfg-4-scale N=10k/m=256) model inside
+    # the batched cold solve — lane-major vs vmapped layout A/B
+    sp_sps, sp_feas = _safe(lambda: bench_sparse_solves(), (nan, nan))
+    sp_v_sps, sp_v_feas = _safe(
+        lambda: bench_sparse_solves(backend="vmapped"), (nan, nan)
+    )
     # constrained-CEM batched solves (the sampling-based solver family):
     # lane-major vs vmapped layout A/B
     cem_sps, cem_feas = _safe(lambda: bench_cem_solves(), (nan, nan))
@@ -677,6 +757,10 @@ def main():
         "batch_episode_feasible_frac": round(bepi_feas, 3),
         "batch_episode_steps_per_sec_vmapped": round(bepi_v_sps, 1),
         "batch_episode_feasible_frac_vmapped": round(bepi_v_feas, 3),
+        "sparse_solves_per_sec": round(sp_sps, 1),
+        "sparse_feasible_frac": round(sp_feas, 3),
+        "sparse_solves_per_sec_vmapped": round(sp_v_sps, 1),
+        "sparse_feasible_frac_vmapped": round(sp_v_feas, 3),
         "cem_solves_per_sec": round(cem_sps, 1),
         "cem_feasible_frac": round(cem_feas, 3),
         "cem_solves_per_sec_vmapped": round(cem_v_sps, 1),

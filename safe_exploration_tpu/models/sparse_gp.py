@@ -77,33 +77,59 @@ class SparseGP:
         return jnp.sum(self.mask).astype(jnp.int32)
 
 
-def _variance_mat(luu: jax.Array, lsig: jax.Array) -> jax.Array:
-    """vmat = Kuu^{-1} - Sigma^{-1} from the two factors (m x m, refit-time).
+def _factors_from_whitened(
+    luu: jax.Array, aat: jax.Array, ayw: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(lsig, alpha, vmat) from the WHITENED data contractions.
 
-    Predict-time variance is then kzz - kzu @ vmat @ kzu — ONE matvec instead
-    of two sequential triangular solves per posterior evaluation. Same
-    rationale as the dense GP's kinv (models/gp.py::_kinv_from_chol): this
-    path sits inside the SQP's traced/differentiated hot loop.
+    Inputs: ``luu`` = chol(Kuu + jitter); ``aat`` = A A^T and ``ayw`` = A y /
+    sigma_n, where A = Luu^{-1} Kuf / sigma_n is the whitened cross-factor
+    (the same A as :func:`sparse_gp_elbo`). With B = I + A A^T:
+
+        Sigma          = Luu B Luu^T        -> lsig = Luu chol(B)
+        alpha          = Luu^{-T} B^{-1} (A y / sigma_n)
+        Kuu^{-1}-Sig^{-1} = Li^T (I - B^{-1}) Li,  Li = Luu^{-1}
+                       = Li^T Li - C^T C,   C = chol(B)^{-1} Li
+
+    Numerics (the reason this exists): forming Sigma = Kuu + Kuf Kuf^T /
+    sigma_n^2 and factoring it DIRECTLY breaks down in f32 at BASELINE-cfg-4
+    scale — cond(Sigma) ~ (N sf^2/sigma_n^2) / jitter blows past 1e8 for
+    N=10k low-noise data, the Cholesky pivot goes negative and every factor
+    NaNs (observed on both CPU-f32 and TPU). B's eigenvalues are >= 1, so
+    chol(B) never sees a negative pivot and its relative error stays bounded
+    regardless of N — the standard GPy/GPflow-stable SGPR formulation.
+
+    Predict-time variance stays solve-free: kzz - kzu @ vmat @ kzu — ONE
+    matvec per posterior evaluation (same rationale as the dense GP's kinv,
+    models/gp.py::_kinv_from_chol): this path sits inside the SQP's
+    traced/differentiated hot loop.
     """
     m = luu.shape[-1]
     eye = jnp.eye(m, dtype=luu.dtype)
-    luu_inv = jax.scipy.linalg.solve_triangular(luu, eye, lower=True)
-    lsig_inv = jax.scipy.linalg.solve_triangular(lsig, eye, lower=True)
-    return luu_inv.T @ luu_inv - lsig_inv.T @ lsig_inv
+    bmat = eye + 0.5 * (aat + aat.T)
+    lb = jnp.linalg.cholesky(bmat)
+    lsig = luu @ lb
+    w = jax.scipy.linalg.solve_triangular(lb, ayw, lower=True)
+    v = jax.scipy.linalg.solve_triangular(lb.T, w, lower=False)
+    alpha = jax.scipy.linalg.solve_triangular(luu.T, v, lower=False)
+    li = jax.scipy.linalg.solve_triangular(luu, eye, lower=True)
+    c = jax.scipy.linalg.solve_triangular(lb, li, lower=True)
+    vmat = li.T @ li - c.T @ c
+    return lsig, alpha, vmat
 
 
 def _factors_dim(kt, params, z, x, mask, y_d, noise_var):
-    """(luu, lsig, alpha, vmat) for one output dim."""
+    """(luu, lsig, alpha, vmat) for one output dim (whitened-stable form)."""
     m = z.shape[0]
     kuu = gram(kt, params, z, z) + _JITTER * jnp.eye(m, dtype=z.dtype)
     kuf = gram(kt, params, z, x) * mask[None, :]  # (m, n)
-    sigma = kuu + (kuf @ kuf.T) / noise_var
     luu = jnp.linalg.cholesky(kuu)
-    lsig = jnp.linalg.cholesky(sigma + _JITTER * jnp.eye(m, dtype=z.dtype))
-    rhs = kuf @ (mask * y_d) / noise_var
-    w = jax.scipy.linalg.solve_triangular(lsig, rhs, lower=True)
-    alpha = jax.scipy.linalg.solve_triangular(lsig.T, w, lower=False)
-    return luu, lsig, alpha, _variance_mat(luu, lsig)
+    sn = jnp.sqrt(noise_var)
+    a = jax.scipy.linalg.solve_triangular(luu, kuf, lower=True) / sn
+    lsig, alpha, vmat = _factors_from_whitened(
+        luu, a @ a.T, a @ (mask * y_d) / sn
+    )
+    return luu, lsig, alpha, vmat
 
 
 def sparse_gp_refit(sgp: SparseGP) -> SparseGP:
@@ -190,7 +216,7 @@ def sparse_gp_predict(sgp: SparseGP, zq: jax.Array) -> tuple[jax.Array, jax.Arra
     """Posterior mean and latent variance at one input zq (d_in,) -> ((e,), (e,)).
 
     Solve-free (mean: one matvec vs alpha; variance: one matvec vs the
-    precomputed vmat) — see _variance_mat.
+    precomputed vmat) — see _factors_from_whitened.
     """
     means, vars_ = [], []
     for d in range(sgp.n_out):

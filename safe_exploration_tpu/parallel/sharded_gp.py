@@ -28,7 +28,11 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from safe_exploration_tpu.models.kernels import gram
-from safe_exploration_tpu.models.sparse_gp import SparseGP, _JITTER, _variance_mat
+from safe_exploration_tpu.models.sparse_gp import (
+    SparseGP,
+    _JITTER,
+    _factors_from_whitened,
+)
 
 __all__ = ["DATA_AXIS", "shard_sparse_gp", "sparse_gp_refit_sharded"]
 
@@ -73,21 +77,30 @@ def sparse_gp_refit_sharded(
             noise_var = jnp.exp(2.0 * log_noise[d]) + _JITTER
             kuf = gram(kern_types[d], params[d], z, x) * mask[None, :]  # (m, nl)
             yd = mask * y[:, d]
-            # one fused psum: [Kuf Kuf^T | Kuf y]  -> (m, m+1)
-            partial = jnp.concatenate([kuf @ kuf.T, (kuf @ yd)[:, None]], axis=1)
-            total = jax.lax.psum(partial, axis)
-            ku_kuf_t, rhs = total[:, :m], total[:, m]
+            # WHITENED local partials (sparse_gp._factors_from_whitened): Kuu
+            # and its Cholesky are replicated (inputs z/params identical on
+            # every chip), so each shard whitens its own Kuf slice locally —
+            # A_s = Luu^{-1} Kuf_s / sigma_n — and the psummed [A A^T | A y /
+            # sigma_n] feeds the f32-stable B = I + A A^T factorization.
+            # Forming Sigma from a psummed Kuf Kuf^T NaN'd at cfg-4 scale
+            # (see _factors_from_whitened's docstring); comm volume is
+            # unchanged: one (m, m+1) psum per dim, independent of N.
             kuu = gram(kern_types[d], params[d], z, z) + _JITTER * eye
-            sigma = kuu + ku_kuf_t / noise_var
             luu = jnp.linalg.cholesky(kuu)
-            lsig = jnp.linalg.cholesky(sigma + _JITTER * eye)
-            w = jax.scipy.linalg.solve_triangular(lsig, rhs / noise_var, lower=True)
-            alpha = jax.scipy.linalg.solve_triangular(lsig.T, w, lower=False)
+            sn = jnp.sqrt(noise_var)
+            a_loc = jax.scipy.linalg.solve_triangular(luu, kuf, lower=True) / sn
+            partial = jnp.concatenate(
+                [a_loc @ a_loc.T, (a_loc @ yd)[:, None] / sn], axis=1
+            )
+            total = jax.lax.psum(partial, axis)
+            lsig, alpha, vmat = _factors_from_whitened(
+                luu, total[:, :m], total[:, m]
+            )
             luus.append(luu)
             lsigs.append(lsig)
             alphas.append(alpha)
             # replicated O(m^3) post-processing, no communication
-            vmats.append(_variance_mat(luu, lsig))
+            vmats.append(vmat)
         return (
             jnp.stack(luus), jnp.stack(lsigs), jnp.stack(alphas),
             jnp.stack(vmats),

@@ -188,3 +188,88 @@ def test_sparse_full_cov_diag_matches_predict(rng):
             )
     for d in range(2):
         assert np.linalg.eigvalsh(np.asarray(cov_f[d]))[0] > -1e-9
+
+
+def test_f32_refit_stable_at_low_noise_scale():
+    """REGRESSION (round 3): the whitened-form refit must survive f32 at
+    BASELINE-cfg-4-like conditioning. Forming Sigma = Kuu + Kuf Kuf^T /
+    sigma_n^2 directly and factoring it NaN'd every factor for low-noise
+    N>=2k pendulum-residual data (cond(Sigma) ~ 1e8+; observed CPU-f32 AND
+    TPU) — the first half of this test pins that the scenario really is past
+    the naive form's cliff, the second that _factors_from_whitened survives
+    it with a usable posterior."""
+    import jax.scipy.linalg  # noqa: F401  (solve_triangular used below)
+
+    from safe_exploration_tpu.envs import (
+        env_step,
+        linearize_discretize,
+        make_pendulum,
+    )
+    from safe_exploration_tpu.models.kernels import gram
+    from safe_exploration_tpu.models.sparse_gp import (
+        _JITTER,
+        make_sparse_gp_ssm,
+        sparse_gp_predict,
+        sparse_gp_refit,
+    )
+
+    def build(dtype, n_data=2048, m=64):
+        env = make_pendulum(dtype=dtype)
+        a, b = linearize_discretize(env)
+        key = jax.random.PRNGKey(0)
+        xs = (jax.random.uniform(key, (n_data, 2), dtype, -1.0, 1.0)
+              * jnp.asarray([0.3, 1.0], dtype))
+        us = jax.random.uniform(jax.random.fold_in(key, 1), (n_data, 1),
+                                dtype, -1.0, 1.0)
+        _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
+        resid = x_next - (xs @ a.T + us @ b.T)
+        ssm = make_sparse_gp_ssm(
+            ("rbf", "rbf"), xs, us, resid, n_max=n_data, n_inducing=m,
+            l_mu=jnp.full((2,), 0.05, dtype),
+            l_sigma=jnp.full((2,), 0.02, dtype), log_noise=-4.0,
+        )
+        params = tuple(
+            {**p, "log_sf": jnp.asarray(-3.0, dtype)} for p in ssm.sgp.params
+        )
+        return sparse_gp_refit(ssm.sgp.replace(params=params))
+
+    sgp32 = build(jnp.float32)
+
+    # (a) the scenario sits past the naive form's breakdown cliff
+    m = sgp32.n_inducing
+    dtype = jnp.float32
+    noise_var = jnp.exp(2.0 * sgp32.log_noise[0])
+    kuu = (gram("rbf", sgp32.params[0], sgp32.z, sgp32.z)
+           + _JITTER * jnp.eye(m, dtype=dtype))
+    kuf = gram("rbf", sgp32.params[0], sgp32.z, sgp32.x) * sgp32.mask[None, :]
+    sigma = kuu + (kuf @ kuf.T) / noise_var
+    naive = jnp.linalg.cholesky(sigma + _JITTER * jnp.eye(m, dtype=dtype))
+    assert bool(jnp.isnan(naive).any()), (
+        "naive Sigma chol no longer breaks at this size — grow the scenario "
+        "so this test keeps pinning the whitened form's reason to exist"
+    )
+
+    # (b) every whitened-form factor is finite
+    for name in ("luu", "lsig", "alpha", "vmat"):
+        assert bool(jnp.isfinite(getattr(sgp32, name)).all()), name
+
+    # (c) usable posterior: positive variance everywhere, bounded by the
+    # prior, and mean at data scale. NOTE the loose mean tolerance: at this
+    # conditioning (information matrix cond ~1e4-1e5) f32 cannot resolve the
+    # ~1e-3-scale posterior mean below ~2e-3 absolute — the whitened form's
+    # deliverable is FINITE, conservative factors where the naive form NaN'd,
+    # not f64 accuracy. Tighter accuracy at this scale is what the
+    # precision="ff" mode / f64-on-CPU path is for (numerics policy,
+    # SURVEY.md §7).
+    sgp64 = build(jnp.float64)
+    key = jax.random.PRNGKey(9)
+    zq = jax.random.uniform(key, (16, 3), jnp.float64, -0.5, 0.5)
+    for i in range(16):
+        mu32, var32 = sparse_gp_predict(sgp32, zq[i].astype(jnp.float32))
+        mu64, var64 = sparse_gp_predict(sgp64, zq[i])
+        assert bool((var32 > 0).all())
+        kzz = float(jnp.exp(2.0 * sgp32.params[0]["log_sf"]))
+        assert bool((np.asarray(var32) <= kzz * (1.0 + 1e-3)).all())
+        np.testing.assert_allclose(
+            np.asarray(mu32, np.float64), np.asarray(mu64), atol=5e-3
+        )

@@ -134,7 +134,14 @@ def test_sparse_lane_solver_matches_portable(setup32):
     sparse path) — mirrors test_sqp_lanes.test_lane_solver_matches_portable."""
     env, ssm, k_fb, a, b = setup32
     spec = env.spec
-    cfg = SqpConfig(n_safe=5, c_safety=2.0, n_outer=8, n_inner=3, n_polish=3,
+    # c_safety=1.8, not the exact-GP test's 2.0: the VFE posterior variance
+    # has an x0-INDEPENDENT floor (kzz - qzz stays ~5e-5 even on data with
+    # m=24 < n=32 inducing points), so at 2.0 the 5-step tube exceeds the
+    # safe polytope for EVERY x0 (viol ~0.01-0.03, measured both f32 and
+    # f64, portable and lane alike) and the parity assertions would compare
+    # empty feasible sets. At 1.8 the same distribution is fully feasible —
+    # the cliff between them is the floor, not solver quality.
+    cfg = SqpConfig(n_safe=5, c_safety=1.8, n_outer=8, n_inner=3, n_polish=3,
                     n_rescue_outer=2)
     cost_fn = tracking_cost(spec.target)
     planner = make_sqp_planner(env, k_fb, a, b, cost_fn, cfg)
