@@ -92,6 +92,10 @@ class ExperimentConfig:
     # vector lanes; same algorithm, different noise stream). The BATCHED
     # entries always auto-dispatch to the lane backend where supported.
     cem_backend: str = "portable"
+    # GP posterior impl for the lane CEM scorer: "auto" (fused Pallas VMEM
+    # kernel on TPU for all-RBF shared/sparse models) | "xla" | "pallas" —
+    # see solvers/cem.CemConfig.gp_impl
+    cem_gp_impl: str = "auto"
 
     # SQP knobs
     sqp_outer: int = 12
@@ -175,6 +179,7 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
             n_perf=cfg.n_perf,
             r_shared=cfg.r_shared,
             perf_method=cfg.perf_trajectory,
+            gp_impl=cfg.cem_gp_impl,
         )
         warm_len = cem_warm_len(cem_cfg)
 
@@ -312,13 +317,15 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
             """Whether the batched EPISODE RUNNER rides the lane-major
             backend for this model — runtime/main's batch task uses it to
             pick run_batched_episodes_lanes over the vmapped runner. The
-            lane episode runner needs per-lane exact-GP buffers
-            (models/gp_lanes.lane_stack_ssm), so it is exact-GPSSM only;
-            sparse models still ride the lane batch PLANNER (the solve),
-            just not the per-lane online-append episode loop."""
+            lane episode runner needs per-lane exact-GP buffers — a shared
+            GPSSM (stacked via models/gp_lanes.lane_stack_ssm at dispatch)
+            or an already-stacked LaneGPSSM. Sparse models still ride the
+            lane batch PLANNER (the solve), just not the per-lane
+            online-append episode loop."""
+            from safe_exploration_tpu.models.gp_lanes import LaneGPSSM
             from safe_exploration_tpu.models.ssm import GPSSM
 
-            return isinstance(ssm, GPSSM) and lanes_supported(
+            return isinstance(ssm, (GPSSM, LaneGPSSM)) and lanes_supported(
                 ssm, sqp_cfg, cfg.objective
             )
     elif cfg.solver != "cem":

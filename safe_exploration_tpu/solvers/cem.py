@@ -57,6 +57,12 @@ class CemConfig(NamedTuple):
     # n_perf = 0 puts the objective on the safety tube itself.
     n_perf: int = 0
     r_shared: int = 1
+    # GP posterior implementation for the LANE scorer (solvers/cem_lanes):
+    # "auto" = fused Pallas VMEM kernel (ops/pallas/gp_predict) on TPU when
+    # the model qualifies (all-RBF, shared/sparse posterior), else XLA;
+    # "xla" / "pallas" force. Scoring is forward-only, so the Pallas path is
+    # safe here; the portable cem_plan ignores this knob.
+    gp_impl: str = "auto"
     perf_method: str = "taylor"  # "taylor" | "mean_equivalent"
 
 

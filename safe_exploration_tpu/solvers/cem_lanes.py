@@ -42,6 +42,7 @@ from safe_exploration_tpu.solvers.sqp_lanes import (
     _dist_lanes,
     _gp_of,
     _rollout_y_lanes,
+    gp_pallas_supported,
 )
 
 __all__ = ["cem_lanes_supported", "cem_plan_lanes", "make_cem_lane_solver"]
@@ -117,6 +118,19 @@ def cem_plan_lanes(
     s_lift = jnp.concatenate([jnp.eye(n_s, dtype=dtype), k_fb], axis=0)
     bmat = s_lift.T @ s_lift
     tube_cfg = _TubeCfg(n_safe=t_len, c_safety=c_safety, n_perf=cfg.n_perf)
+    # scoring is forward-only (no AD through the tube), so the fused Pallas
+    # posterior kernel is eligible; "auto" takes it on TPU for qualifying
+    # models (measured A/B in bench.py decides the default stays honest)
+    impl = cfg.gp_impl
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (gp_pallas_supported(ssm) and dtype == jnp.float32
+                and jax.default_backend() == "tpu")
+            else "xla"
+        )
+    elif impl == "pallas" and not gp_pallas_supported(ssm):
+        impl = "xla"
 
     def make_score(x0_cols):
         """Penalized scorer over lanes of width x0_cols[0].size."""
@@ -124,7 +138,7 @@ def cem_plan_lanes(
 
         def score(u_flat):
             y = _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b,
-                                 tube_cfg, bmat, r, n_u)
+                                 tube_cfg, bmat, r, n_u, impl=impl)
             g = _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs,
                             h_mat_safe, h_safe)
             viol = jnp.sum(jnp.maximum(g, 0.0), axis=0)

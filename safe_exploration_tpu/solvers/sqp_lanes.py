@@ -89,7 +89,54 @@ def _gp_of(ssm):
     return ssm.sgp if isinstance(ssm, SparseGPSSM) else ssm.gp
 
 
-def _gp_predict_lanes(ssm, z: jax.Array, *, want_jac: bool):
+def gp_pallas_supported(ssm) -> bool:
+    """Whether the fused Pallas posterior kernel
+    (ops/pallas/gp_predict.gp_predict_lanes_pallas) covers this model:
+    shared exact or inducing-point posterior, all-RBF kernel menu, f32
+    factors. Per-lane LaneGPSSM models keep the XLA form (their buffers are
+    batch-last per lane, a different contraction)."""
+    if isinstance(ssm, LaneGPSSM) or not isinstance(ssm, (GPSSM, SparseGPSSM)):
+        return False
+    gp = _gp_of(ssm)
+    return (
+        all(kt == "rbf" for kt in gp.kern_types)
+        and getattr(gp, "precision", "f32") == "f32"
+    )
+
+
+def _gp_predict_lanes_pallas(ssm, z, *, want_jac: bool, interpret=False):
+    """The Pallas-fused counterpart of :func:`_gp_predict_lanes` (RBF menu;
+    see gp_pallas_supported). Pre-folds the validity mask into the posterior
+    weights — zeroed rows/cols contribute exactly 0 to every contraction, so
+    no in-kernel mask is needed — and applies the same z_scale chain rule.
+    FORWARD-ONLY: no AD rules; only sampling-based (CEM) scoring paths may
+    dispatch here."""
+    from safe_exploration_tpu.ops.pallas.gp_predict import (
+        gp_predict_lanes_pallas,
+    )
+
+    gp = _gp_of(ssm)
+    sparse = isinstance(ssm, SparseGPSSM)
+    xr = gp.z if sparse else gp.x
+    w_mean = gp.alpha if sparse else gp.beta
+    w_var = gp.vmat if sparse else gp.kinv
+    if not sparse:
+        w_mean = w_mean * gp.mask[None, :]
+        w_var = w_var * (gp.mask[None, :, None] * gp.mask[None, None, :])
+    zz = z if ssm.z_scale is None else z / ssm.z_scale[:, None]
+    log_ls = jnp.stack([p["log_lengthscales"] for p in gp.params])
+    log_sf = jnp.stack([jnp.asarray(p["log_sf"]) for p in gp.params])
+    out = gp_predict_lanes_pallas(
+        xr, w_mean, w_var, log_ls, log_sf, zz, want_jac=want_jac,
+        interpret=interpret,
+    )
+    if want_jac and ssm.z_scale is not None:
+        mu, var, jac = out
+        return mu, var, jac / ssm.z_scale[None, :, None]
+    return out
+
+
+def _gp_predict_lanes(ssm, z: jax.Array, *, want_jac: bool, impl="xla"):
     """Posterior mean/var (+ closed-form mean Jacobian) at B query lanes.
 
     ``z``: (d_in, B) RAW state-action inputs (lane-last). Mirrors
@@ -110,7 +157,13 @@ def _gp_predict_lanes(ssm, z: jax.Array, *, want_jac: bool):
     precomputed ``vmat`` and no mask is needed (inducing rows are all
     active) — parity with sparse_gp_predict_mean_jac pinned in
     tests/test_sqp_lanes_sparse.py.
+
+    ``impl="pallas"`` routes to the fused VMEM kernel (forward-only — the
+    lane CEM's scoring path; the SQP differentiates through this function
+    and stays on the XLA form).
     """
+    if impl == "pallas":
+        return _gp_predict_lanes_pallas(ssm, z, want_jac=want_jac)
     if isinstance(ssm, LaneGPSSM):
         return lane_predict(ssm, z, want_jac=want_jac)
     sparse = isinstance(ssm, SparseGPSSM)
@@ -251,7 +304,7 @@ def _sum_two_ellipsoids_q(q1, q2):
              for j in range(n)] for i in range(n)]
 
 
-def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
+def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat, impl="xla"):
     """Lane tube rollout: u_flat (n_var, B), x0 (n_s, B) ->
     (p_traj, q_traj, var_traj) as lists over stages of lane structures.
 
@@ -275,7 +328,7 @@ def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     # stage 0: point step (onestep_reachability_point)
     kff = kff_at(0)
     z = jnp.stack(list(x0) + kff)                          # (d_in, B)
-    mu, var = _gp_predict_lanes(ssm, z, want_jac=False)
+    mu, var = _gp_predict_lanes(ssm, z, want_jac=False, impl=impl)
     p = [
         sum(a_rows[i][j] * x0[j] for j in range(n_s))
         + sum(b_rows[i][k] * kff[k] for k in range(n_u))
@@ -292,7 +345,7 @@ def _rollout_lanes(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     for t in range(1, t_len):
         kff = kff_at(t)
         z = jnp.stack(list(p) + kff)
-        mu, var, jac = _gp_predict_lanes(ssm, z, want_jac=True)
+        mu, var, jac = _gp_predict_lanes(ssm, z, want_jac=True, impl=impl)
         p_next = [
             sum(a_rows[i][j] * p[j] for j in range(n_s))
             + sum(b_rows[i][k] * kff[k] for k in range(n_u))
@@ -371,7 +424,8 @@ def _sum_two_ellipsoids_q_array(q1, q2):
     return (1.0 + 1.0 / c) * q1 + (1.0 + c) * q2
 
 
-def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
+def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat,
+                         impl="xla"):
     """ARRAY-form lane tube rollout — identical math to
     :func:`_rollout_lanes`, with the tiny-matrix algebra as batch-LAST
     (n_s, n_s, B) einsums instead of Python-scalar unrolls.
@@ -402,7 +456,7 @@ def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
 
     kff = u_flat[:n_u]
     z = jnp.concatenate([x0, kff], axis=0)                  # (d_in, B)
-    mu, var = _gp_predict_lanes(ssm, z, want_jac=False)
+    mu, var = _gp_predict_lanes(ssm, z, want_jac=False, impl=impl)
     p = a @ x0 + b @ kff + mu
     hw0 = c_safety * jnp.sqrt(var + noise)
     q = diag_q(hw0)
@@ -415,7 +469,7 @@ def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     for t in range(1, t_len):
         kff = u_flat[t * n_u:(t + 1) * n_u]
         z = jnp.concatenate([p, kff], axis=0)
-        mu, var, jac = _gp_predict_lanes(ssm, z, want_jac=True)
+        mu, var, jac = _gp_predict_lanes(ssm, z, want_jac=True, impl=impl)
         p = a @ p + b @ kff + mu
         # H = a + J_x + (b + J_u) k_fb  (onestep_reachability step 3)
         h = (
@@ -443,30 +497,34 @@ def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat):
     )
 
 
-def _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat, r, n_u):
+def _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat, r, n_u,
+                     impl="xla"):
     """Packed tube(+perf) rollout, choosing the rollout form by state
     dimension (see _rollout_lanes_array docstring for the trace-size
     rationale)."""
     t_len = cfg.n_safe
     n_s = a.shape[0]
     perf = (
-        _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, cfg, r, n_u, t_len)
+        _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, cfg, r, n_u, t_len,
+                            impl=impl)
         if cfg.n_perf > 0 else None
     )
     if n_s <= 2:
         return _pack_y(
-            *_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat),
+            *_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat,
+                            impl=impl),
             perf=perf,
         )
     y = _rollout_lanes_array(
-        ssm, u_flat, jnp.stack(x0_rows), k_fb, a, b, cfg, bmat
+        ssm, u_flat, jnp.stack(x0_rows), k_fb, a, b, cfg, bmat, impl=impl
     )
     if perf is None:
         return y
     return jnp.concatenate([y, _pack_y([], [], [], perf=perf)])
 
 
-def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len):
+def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len,
+                        impl="xla"):
     """Performance-trajectory stages, lane-major.
 
     Mirrors reachability/propagation.multi_step_propagation under the lane
@@ -496,7 +554,7 @@ def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len):
     for t in range(cfg.n_perf):
         ut = u_at(t)
         z = jnp.stack(p + ut)
-        mu, var = _gp_predict_lanes(ssm, z, want_jac=False)
+        mu, var = _gp_predict_lanes(ssm, z, want_jac=False, impl=impl)
         p = [
             sum(a_rows[i][j] * p[j] for j in range(n_s))
             + sum(b_rows[i][k] * ut[k] for k in range(n_u))
@@ -736,6 +794,26 @@ def solve_safempc_lanes(
     alphas = 0.5 ** jnp.arange(cfg.n_linesearch, dtype=dtype)
     polish_alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125], dtype)
 
+    # Line-search/polish FOLDING: the n_c trial step-sizes are evaluated in
+    # ONE rollout over n_c*B lanes instead of n_c sequential B-lane rollouts
+    # — the candidate axis is just more vector lanes (per-lane math is
+    # identical; lane index c*B + b sees x0[b]). Sequential trials leave the
+    # MXU/VPU underfed at small B and serialize n_c dispatch chains; folding
+    # is the same layout argument as the backend itself. Per-lane LaneGPSSM
+    # models are excluded: their support buffers are per-lane, so widening
+    # the lane axis would require tiling every GP buffer n_c-fold per step.
+    fold_cands = not isinstance(ssm, LaneGPSSM)
+
+    def fold_eval(cands, eval_wide):
+        """cands (n_c, n_var, B) -> per-candidate values (n_c, B) via one
+        wide evaluation; eval_wide maps (u_wide, y_wide, n_c) -> (n_c*B,)."""
+        n_c = cands.shape[0]
+        u_wide = jnp.moveaxis(cands, 0, 1).reshape(n_var, n_c * bsz)
+        x0w = [jnp.tile(xr, n_c) for xr in x0_rows]
+        y_wide = _rollout_y_lanes(ssm, u_wide, x0w, k_fb, a, b, cfg,
+                                  bmat, r, n_u)
+        return eval_wide(u_wide, y_wide, n_c).reshape(n_c, bsz)
+
     def gn_step(u, lam, mu):
         # ONE primal rollout + n_var jvps of its linearization (jy), then all
         # further derivatives through the TINY y-space maps on y + Jy (v - u):
@@ -767,7 +845,16 @@ def solve_safempc_lanes(
         cands = jnp.stack(
             [jnp.clip(u + al_ * d, lo, hi) for al_ in alphas]
         )                                                   # (n_c, n_var, B)
-        vals = jnp.stack([al_of(rollout_y(c), c, lam, mu) for c in cands])
+        if fold_cands:
+            vals = fold_eval(
+                cands,
+                lambda uw, yw, n_c: al_of(yw, uw, jnp.tile(lam, (1, n_c)),
+                                          mu),
+            )
+        else:
+            vals = jnp.stack(
+                [al_of(rollout_y(c), c, lam, mu) for c in cands]
+            )
         vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
         return _select_candidates(vals, cands, f0, u)
 
@@ -815,10 +902,18 @@ def solve_safempc_lanes(
             cands = jnp.stack(
                 [jnp.clip(u + al_ * d, lo, hi) for al_ in polish_alphas]
             )
-            viols = jnp.stack([
-                jnp.sum(jnp.maximum(dist(rollout_y(c)), 0.0), axis=0)
-                for c in cands
-            ])
+            if fold_cands:
+                viols = fold_eval(
+                    cands,
+                    lambda uw, yw, n_c: jnp.sum(
+                        jnp.maximum(dist(yw), 0.0), axis=0
+                    ),
+                )
+            else:
+                viols = jnp.stack([
+                    jnp.sum(jnp.maximum(dist(rollout_y(c)), 0.0), axis=0)
+                    for c in cands
+                ])
             return _select_candidates(viols, cands,
                                       jnp.sum(v, axis=0), u), None
 
