@@ -17,10 +17,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: this host has ONE CPU core, so XLA compiles of
+# the big lane-major programs take tens of seconds to minutes each and a cold
+# run of every sub-benchmark cannot fit any reasonable timeout (BENCH_r03.json
+# recorded rc 124 with no output at all). With the cache primed — bench.py is
+# run during the build round on the same machine the driver uses — every jit
+# below is a disk hit and the whole suite runs in a few minutes. The cache
+# lives OUTSIDE the repo so end-of-round git operations cannot wipe it.
+_CACHE_DIR = os.path.expanduser("~/.cache/safe_exploration_tpu_jax")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype,
@@ -327,7 +342,7 @@ def bench_sparse_solves(batch: int = 512, iters: int = 10, n_data: int = 10240,
 
 def bench_cem_solves(batch: int = 256, iters: int = 5, n_max: int = 64,
                      n_data: int = 48, n_safe: int = 5,
-                     backend: str = "lanes"):
+                     backend: str = "lanes", gp_impl: str = "auto"):
     """Constrained-CEM batched cold solves — the sampling-based solver family
     (BASELINE cfg 5's planner, reference safempc_cem.py).
 
@@ -350,6 +365,7 @@ def bench_cem_solves(batch: int = 256, iters: int = 5, n_max: int = 64,
     cfg = ExperimentConfig(
         name="bcem", solver="cem", n_safe=n_safe, n_max=n_max,
         cem_samples=64, cem_elites=12, cem_iterations=4,
+        cem_gp_impl=gp_impl,
     )
     exp = build_experiment(cfg, dtype=dtype)
     from safe_exploration_tpu.solvers.cem import CemConfig
@@ -481,9 +497,16 @@ def _device_ms(make_step, n_short: int = 8, rounds: int = 6,
     if diff >= 20.0:  # device work already dominates tunnel jitter
         return diff / (probe - n_short)
     # fast kernel: size the long chain from a jitter-floored slope upper
-    # bound so the differenced device time lands near target_ms
+    # bound so the differenced device time lands near target_ms. Round the
+    # calibrated length UP to a power of two so the chain program shape is
+    # stable run-to-run and hits the persistent compilation cache (a
+    # data-dependent length would force a fresh multi-second compile on the
+    # 1-CPU host every run).
     slope_ub = max(diff, 2.0) / (probe - n_short)
     n_long = min(max_len, n_short + int(target_ms / slope_ub))
+    n_long = min(max_len, 1 << max(9, (n_long - 1).bit_length()))
+    if n_long <= n_short:
+        n_long = 2 * n_short
     return (chain(n_long) - t_short) / (n_long - n_short)
 
 
@@ -577,6 +600,42 @@ def bench_pallas_gram_trsm(sizes=(512, 2048), d: int = 3):
     return out
 
 
+def bench_pallas_gp_predict(n_data: int = 64, n_lanes: int = 16384):
+    """Device-side A/B: the fused Pallas posterior kernel
+    (ops/pallas/gp_predict — mean/var/Jacobian in one VMEM pass) vs the lane
+    XLA chain it replaces, at CEM-scorer scale (n support rows x M*B lanes).
+    This is the op the lane CEM scorer dispatches on (gp_impl="auto")."""
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+    from safe_exploration_tpu.ops.pallas import on_tpu
+    from safe_exploration_tpu.solvers.sqp_lanes import (
+        _gp_predict_lanes,
+        _gp_predict_lanes_pallas,
+    )
+
+    tag = f"n{n_data}_l{n_lanes // 1024}k"
+    keys_out = (f"pallas_gp_predict_us_{tag}", f"xla_gp_predict_us_{tag}")
+    if not on_tpu():
+        return {k: float("nan") for k in keys_out}
+    dtype = jnp.float32
+    _, ssm, _, _ = build(8, 128, n_data, 5, dtype)
+    ssm = ssm_bucketed(ssm)
+    z = jax.random.uniform(
+        jax.random.PRNGKey(5), (3, n_lanes), dtype, -1.0, 1.0
+    )
+
+    def step_of(fn):
+        def step(c):
+            mu, var, jac = fn(ssm, z + c, want_jac=True)
+            return mu + var + jac[:, 0, :]   # consume all three (no DCE)
+        return step
+
+    vals = (
+        _device_ms(step_of(_gp_predict_lanes_pallas)),
+        _device_ms(step_of(_gp_predict_lanes)),
+    )
+    return {k: round(v * 1e3, 1) for k, v in zip(keys_out, vals)}
+
+
 def bench_pallas_chol(n: int = 512):
     """VMEM-tier blocked Pallas Cholesky vs XLA, device-side (NOT dispatched —
     XLA wins 3-5x at f32-accurate precision; reported for transparency)."""
@@ -656,6 +715,43 @@ def bench_ff_chol(n: int = 256):
     return err_ff, err_f32
 
 
+_RESULT: dict = {}
+_EMITTED = False
+
+
+def _emit():
+    """Print the ONE JSON line the driver parses. Idempotent — also invoked
+    from the SIGTERM/SIGALRM handlers so a timeout still yields a record.
+    NaN-valued rows (skipped/failed sub-benchmarks) are dropped: json.dumps
+    would render them as bare ``NaN``, which a strict JSON parser rejects —
+    and one bad row must not sink the whole record."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+
+    def bad(v):
+        return isinstance(v, float) and (v != v or v in (float("inf"),
+                                                         float("-inf")))
+
+    # the driver-required schema keys must always be present — null, not
+    # absent, when the headline itself never landed
+    required = ("metric", "value", "unit", "vs_baseline")
+    clean = {
+        k: (None if bad(v) else v)
+        for k, v in _RESULT.items()
+        if k in required or not bad(v)
+    }
+    print(json.dumps(clean, allow_nan=False), flush=True)
+
+
+def _on_deadline(signum, frame):  # pragma: no cover - timing dependent
+    print(f"bench: signal {signum} — emitting partial result", file=sys.stderr)
+    _emit()
+    # exit 0: a partial-but-parseable record beats rc 124 with no output
+    os._exit(0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -663,82 +759,53 @@ def main():
     ap.add_argument("--n-max", type=int, default=128)
     ap.add_argument("--n-data", type=int, default=64)
     ap.add_argument("--n-safe", type=int, default=5)
+    ap.add_argument(
+        "--budget", type=float,
+        default=float(os.environ.get("BENCH_BUDGET_S", "420")),
+        help="wall-clock budget (s): sub-benchmarks that would not fit are "
+        "skipped (NaN rows). The driver's timeout killed round 3's bench "
+        "with no output; this keeps the JSON line guaranteed.",
+    )
     args = ap.parse_args()
 
+    t_start = time.perf_counter()
+
+    def left():
+        return args.budget - (time.perf_counter() - t_start)
+
     nan = float("nan")
+    signal.signal(signal.SIGTERM, _on_deadline)
+    signal.signal(signal.SIGALRM, _on_deadline)
+    # hard self-deadline a little past the soft budget: if one sub-benchmark
+    # blows through its estimate (cold cache), emit what we have and stop
+    signal.alarm(int(args.budget + 120))
 
     def _safe(fn, default):
         """Secondary metrics must never sink the headline JSON line."""
         try:
             return fn()
         except Exception as e:  # pragma: no cover - defensive
-            import sys
-
             print(f"bench sub-metric failed: {e!r}", file=sys.stderr)
             return default
 
-    solves_per_sec, feasible_frac = bench_solves(
-        args.batch, args.iters, args.n_max, args.n_data, args.n_safe
-    )
-    # fast budget: 10x3 + 3 polish, no rescue — the speed ceiling of a
-    # single cold GN-AL pass at ~2pp lower cold feasibility
-    fast_sps, fast_feas = _safe(
+    # ---- headline (always runs, first) ------------------------------------
+    # A parseable record must survive even a broken headline: pre-fill the
+    # driver-required keys, then overwrite with the measurement.
+    _RESULT.update({
+        "metric": "safe_mpc_solves_per_sec_pendulum_H5",
+        "value": nan,
+        "unit": "solves/s",
+        "vs_baseline": nan,
+        "device": str(jax.devices()[0]),
+    })
+    solves_per_sec, feasible_frac = _safe(
         lambda: bench_solves(
-            args.batch, args.iters, args.n_max, args.n_data, args.n_safe,
-            outer=10, inner=3, polish=3, rescue=0,
-        ),
-        (nan, nan),
-    )
-    # the vmapped portable solver at the headline budget: the layout A/B
-    # behind the lane backend's 4.6-5.7x (driver-visible evidence)
-    portable_sps, portable_feas = _safe(
-        lambda: bench_solves(
-            args.batch, args.iters, args.n_max, args.n_data, args.n_safe,
-            backend="portable",
-        ),
-        (nan, nan),
-    )
-    warm_sps, warm_feas = _safe(
-        lambda: bench_warm_solves(
             args.batch, args.iters, args.n_max, args.n_data, args.n_safe
         ),
         (nan, nan),
     )
-    # ONLINE-learning batched episodes (BASELINE config 3): per-lane evolving
-    # GPs — lane-major vs vmapped-stacked layout A/B
-    bepi_sps, bepi_feas = _safe(lambda: bench_batched_episodes(), (nan, nan))
-    bepi_v_sps, bepi_v_feas = _safe(
-        lambda: bench_batched_episodes(backend="vmapped"), (nan, nan)
-    )
-    # sparse (inducing-point, BASELINE-cfg-4-scale N=10k/m=256) model inside
-    # the batched cold solve — lane-major vs vmapped layout A/B
-    sp_sps, sp_feas = _safe(lambda: bench_sparse_solves(), (nan, nan))
-    sp_v_sps, sp_v_feas = _safe(
-        lambda: bench_sparse_solves(backend="vmapped"), (nan, nan)
-    )
-    # constrained-CEM batched solves (the sampling-based solver family):
-    # lane-major vs vmapped layout A/B
-    cem_sps, cem_feas = _safe(lambda: bench_cem_solves(), (nan, nan))
-    cem_v_sps, cem_v_feas = _safe(
-        lambda: bench_cem_solves(backend="vmapped"), (nan, nan)
-    )
-    # single-instance CEM latency (episodic regime) — the cem_backend A/B
-    cem1_ms, _ = _safe(lambda: bench_cem_single(), (nan, nan))
-    cem1_v_ms, _ = _safe(
-        lambda: bench_cem_single(backend="portable"), (nan, nan)
-    )
-    chol_ms, pred_ms = _safe(bench_gp_latency, (nan, nan))
-    sgp_refit_ms, sgp_pred_us = _safe(bench_large_gp, (nan, nan))
-    chol_tier = _safe(bench_pallas_chol, {"pallas": nan, "xla": nan})
-    gt = _safe(bench_pallas_gram_trsm, {})
-    hbm = _safe(bench_pallas_chol_hbm, {})
-    err_ff, err_f32 = _safe(bench_ff_chol, (nan, nan))
-    ff_refit_ms = _safe(bench_ff_refit, nan)
-
-    result = {
-        "metric": "safe_mpc_solves_per_sec_pendulum_H5",
+    _RESULT.update({
         "value": round(solves_per_sec, 1),
-        "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / 1000.0, 3),
         "batch": args.batch,
         "feasible_frac": round(feasible_frac, 3),
@@ -747,41 +814,107 @@ def main():
         # the headline budget sits AT the 25x8 exact-Hessian oracle ceiling
         # of 0.904 on this distribution)
         "feasible_solves_per_sec": round(solves_per_sec * feasible_frac, 1),
-        "fast_solves_per_sec": round(fast_sps, 1),
-        "fast_feasible_frac": round(fast_feas, 3),
-        "portable_solves_per_sec": round(portable_sps, 1),
-        "portable_feasible_frac": round(portable_feas, 3),
-        "warm_solves_per_sec": round(warm_sps, 1),
-        "warm_feasible_frac": round(warm_feas, 3),
-        "batch_episode_steps_per_sec": round(bepi_sps, 1),
-        "batch_episode_feasible_frac": round(bepi_feas, 3),
-        "batch_episode_steps_per_sec_vmapped": round(bepi_v_sps, 1),
-        "batch_episode_feasible_frac_vmapped": round(bepi_v_feas, 3),
-        "sparse_solves_per_sec": round(sp_sps, 1),
-        "sparse_feasible_frac": round(sp_feas, 3),
-        "sparse_solves_per_sec_vmapped": round(sp_v_sps, 1),
-        "sparse_feasible_frac_vmapped": round(sp_v_feas, 3),
-        "cem_solves_per_sec": round(cem_sps, 1),
-        "cem_feasible_frac": round(cem_feas, 3),
-        "cem_solves_per_sec_vmapped": round(cem_v_sps, 1),
-        "cem_feasible_frac_vmapped": round(cem_v_feas, 3),
-        "cem_single_ms_lanes": round(cem1_ms, 3),
-        "cem_single_ms_portable": round(cem1_v_ms, 3),
-        "gp_refit_chol_ms_n256": round(chol_ms, 3),
-        "gp_predict_jac_ms_n256": round(pred_ms, 3),
-        "sparse_gp_refit_ms_n10k_m256": round(sgp_refit_ms, 3),
-        "sparse_gp_predict_us_n10k": round(sgp_pred_us, 2),
-        # kernel A/B rows are DEVICE-side (chain-differenced; see _device_ms)
-        "pallas_chol_ms_n512": round(chol_tier["pallas"], 3),
-        "xla_chol_ms_n512": round(chol_tier["xla"], 3),
-        **gt,
-        **hbm,
-        "ff_chol_rel_err_n256": float(f"{err_ff:.3e}"),
-        "f32_chol_rel_err_n256": float(f"{err_f32:.3e}"),
-        "ff_refit_ms_n128": round(ff_refit_ms, 2),
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    })
+
+    # ---- optional sub-benchmarks, priority order ---------------------------
+    # Each entry: (cost estimate s on a COLD compile cache, keys, fill fn).
+    # On a primed cache (bench.py ran during the round on this machine) each
+    # costs seconds and everything fits; on a cold cache the budget gate
+    # degrades gracefully instead of timing out with no output (round 3).
+    def _two(keys, fn, scale=(1.0, 1.0), digits=(1, 3)):
+        def fill():
+            a_val, b_val = _safe(fn, (nan, nan))
+            _RESULT[keys[0]] = round(a_val * scale[0], digits[0])
+            _RESULT[keys[1]] = round(b_val * scale[1], digits[1])
+        return fill
+
+    def _fill_pallas_chol():
+        tier = _safe(bench_pallas_chol, {"pallas": nan, "xla": nan})
+        _RESULT["pallas_chol_ms_n512"] = round(tier["pallas"], 3)
+        _RESULT["xla_chol_ms_n512"] = round(tier["xla"], 3)
+
+    def _fill_ff():
+        err_ff, err_f32 = _safe(bench_ff_chol, (nan, nan))
+        _RESULT["ff_chol_rel_err_n256"] = float(f"{err_ff:.3e}")
+        _RESULT["f32_chol_rel_err_n256"] = float(f"{err_f32:.3e}")
+
+    b, it, nm, nd, ns = (args.batch, args.iters, args.n_max, args.n_data,
+                         args.n_safe)
+    plan = [
+        # steady-state closed loop: the production MPC regime
+        (120, _two(("warm_solves_per_sec", "warm_feasible_frac"),
+                   lambda: bench_warm_solves(b, it, nm, nd, ns))),
+        # cold fast budget (single GN-AL pass speed ceiling)
+        (60, _two(("fast_solves_per_sec", "fast_feasible_frac"),
+                  lambda: bench_solves(b, it, nm, nd, ns, outer=10, inner=3,
+                                       polish=3, rescue=0))),
+        # GP latency rows (device-side)
+        (90, _two(("gp_refit_chol_ms_n256", "gp_predict_jac_ms_n256"),
+                  bench_gp_latency, digits=(3, 3))),
+        (90, _two(("sparse_gp_refit_ms_n10k_m256", "sparse_gp_predict_us_n10k"),
+                  bench_large_gp, digits=(3, 2))),
+        # ONLINE-learning batched episodes (BASELINE config 3), lane backend
+        (150, _two(("batch_episode_steps_per_sec",
+                    "batch_episode_feasible_frac"),
+                   bench_batched_episodes)),
+        # sparse model (BASELINE cfg 4 scale) inside the batched cold solve
+        (120, _two(("sparse_solves_per_sec", "sparse_feasible_frac"),
+                   bench_sparse_solves)),
+        # constrained-CEM batched solves (sampling-based solver family;
+        # gp_impl="auto" dispatches the fused Pallas posterior kernel on TPU)
+        (120, _two(("cem_solves_per_sec", "cem_feasible_frac"),
+                   bench_cem_solves)),
+        # the same lane CEM solve with the XLA posterior chain — the
+        # dispatch-level A/B for the fused Pallas kernel
+        (120, _two(("cem_solves_per_sec_xla_gp",
+                    "cem_feasible_frac_xla_gp"),
+                   lambda: bench_cem_solves(gp_impl="xla"))),
+        # op-level A/B of the fused posterior kernel at scorer scale
+        (90, lambda: _RESULT.update(_safe(bench_pallas_gp_predict, {}))),
+        # layout A/Bs: the vmapped portable paths behind the lane backend's
+        # 4.6-5.7x (driver-visible evidence)
+        (240, _two(("portable_solves_per_sec", "portable_feasible_frac"),
+                   lambda: bench_solves(b, it, nm, nd, ns,
+                                        backend="portable"))),
+        (240, _two(("batch_episode_steps_per_sec_vmapped",
+                    "batch_episode_feasible_frac_vmapped"),
+                   lambda: bench_batched_episodes(backend="vmapped"))),
+        (240, _two(("sparse_solves_per_sec_vmapped",
+                    "sparse_feasible_frac_vmapped"),
+                   lambda: bench_sparse_solves(backend="vmapped"))),
+        (180, _two(("cem_solves_per_sec_vmapped",
+                    "cem_feasible_frac_vmapped"),
+                   lambda: bench_cem_solves(backend="vmapped"))),
+        # single-instance CEM latency — the cem_backend A/B
+        (120, _two(("cem_single_ms_lanes", "cem_single_ms_unused"),
+                   bench_cem_single, digits=(3, 3))),
+        (120, _two(("cem_single_ms_portable", "cem_single_ms_unused2"),
+                   lambda: bench_cem_single(backend="portable"),
+                   digits=(3, 3))),
+        # Pallas library-kernel A/Bs (NOT dispatched; kept driver-visible)
+        (120, _fill_pallas_chol),
+        (150, lambda: _RESULT.update(_safe(bench_pallas_gram_trsm, {}))),
+        (150, lambda: _RESULT.update(_safe(bench_pallas_chol_hbm, {}))),
+        # float-float fp64-equivalence evidence
+        (30, _fill_ff),
+        (60, lambda: _RESULT.update(
+            {"ff_refit_ms_n128": round(_safe(bench_ff_refit, nan), 2)})),
+    ]
+
+    for est, fill in plan:
+        if left() < est:
+            print(f"bench: skipping a sub-benchmark (est {est}s, "
+                  f"{left():.0f}s left)", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        fill()
+        print(f"bench: sub-benchmark done in {time.perf_counter() - t0:.1f}s"
+              f" ({left():.0f}s left)", file=sys.stderr)
+
+    _RESULT.pop("cem_single_ms_unused", None)
+    _RESULT.pop("cem_single_ms_unused2", None)
+    signal.alarm(0)
+    _emit()
 
 
 if __name__ == "__main__":
