@@ -244,7 +244,21 @@ def test_f32_refit_stable_at_low_noise_scale():
     kuf = gram("rbf", sgp32.params[0], sgp32.z, sgp32.x) * sgp32.mask[None, :]
     sigma = kuu + (kuf @ kuf.T) / noise_var
     naive = jnp.linalg.cholesky(sigma + _JITTER * jnp.eye(m, dtype=dtype))
-    assert bool(jnp.isnan(naive).any()), (
+    # "breaks" is backend-dependent near the conditioning cliff: most BLAS
+    # lowerings return NaN factors, but some return finite garbage instead
+    # (tiny/negative trailing pivots, huge reconstruction error). Accept
+    # either failure mode so the canary pins the cliff without being flaky
+    # across platforms (ADVICE r3).
+    naive_nan = bool(jnp.isnan(naive).any())
+    naive_bad_pivot = bool(
+        (jnp.diagonal(naive) <= jnp.sqrt(_JITTER) * 1e-2).any()
+    )
+    recon_rel = float(
+        jnp.max(jnp.abs(jnp.nan_to_num(naive @ naive.T) - sigma))
+        / jnp.max(jnp.abs(sigma))
+    )
+    naive_bad_recon = recon_rel > 1e-3
+    assert naive_nan or naive_bad_pivot or naive_bad_recon, (
         "naive Sigma chol no longer breaks at this size — grow the scenario "
         "so this test keeps pinning the whitened form's reason to exist"
     )
