@@ -557,6 +557,38 @@ def bench_large_gp(n: int = 10240, m: int = 256, d: int = 7, e: int = 2):
     return refit_ms, pred_ms * 1e3
 
 
+def bench_serve_step(n_max: int = 128, n_data: int = 64, n_safe: int = 5):
+    """Single-plant PRODUCTION step latency, device-side (ms): one full
+    get_action — warm-budget SQP solve + fallback state machine — the program
+    runtime/serve.ServeController AOT-compiles for deployment. Host-side
+    step() latency over the axon tunnel is dominated by the ~25 ms roundtrip,
+    so the honest per-step number is the chained device time (the reference's
+    counterpart is one CasADi/IPOPT get_action on CPU, SURVEY.md §3.3)."""
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+
+    dtype = jnp.float32
+    _, ssm, x0s, _ = build(8, n_max, n_data, n_safe, dtype)
+    exp = build_experiment(
+        ExperimentConfig(name="serve", solver="sqp", n_safe=n_safe,
+                         n_max=n_max, sqp_outer=4, sqp_inner=3),
+        dtype=dtype,
+    )
+    ssm_plan = ssm_bucketed(ssm)
+    state = exp["init_state"]()
+    key = jax.random.PRNGKey(0)
+    x0 = x0s[0]
+
+    def step(c):
+        u, _, _ = exp["get_action"](key, state, ssm_plan, x0 + c)
+        return u[None, :]
+
+    return _device_ms(step)
+
+
 def bench_pallas_gram_trsm(sizes=(512, 2048), d: int = 3):
     """Device-side library-kernel A/B at VMEM- and HBM-tier sizes.
 
@@ -885,6 +917,9 @@ def main():
         (180, _two(("cem_solves_per_sec_vmapped",
                     "cem_feasible_frac_vmapped"),
                    lambda: bench_cem_solves(backend="vmapped"))),
+        # single-plant production step latency (runtime/serve regime)
+        (90, lambda: _RESULT.update(
+            {"serve_step_device_ms": round(_safe(bench_serve_step, nan), 3)})),
         # single-instance CEM latency — the cem_backend A/B
         (120, _two(("cem_single_ms_lanes", "cem_single_ms_unused"),
                    bench_cem_single, digits=(3, 3))),

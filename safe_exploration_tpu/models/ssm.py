@@ -22,8 +22,8 @@ from safe_exploration_tpu.models.gp import GP
 from safe_exploration_tpu.models.kernels import init_kernel_params
 
 __all__ = ["GPSSM", "ssm_predict", "ssm_predict_full_cov", "ssm_predict_jac",
-           "ssm_update", "ssm_append_point", "ssm_fit", "ssm_probe_points",
-           "make_gp_ssm"]
+           "ssm_predict_grads", "ssm_update", "ssm_append_point", "ssm_fit",
+           "ssm_probe_points", "make_gp_ssm"]
 
 
 @struct.dataclass
@@ -198,6 +198,31 @@ def ssm_predict_jac(ssm, x: jax.Array, u: jax.Array):
 
     jac_mu, (mu, var) = jax.jacfwd(mean_with_aux, has_aux=True)(z)
     return mu, var, jac_mu[:, :n_s], jac_mu[:, n_s:]
+
+
+def ssm_predict_grads(ssm, x: jax.Array, u: jax.Array):
+    """Prediction + input-Jacobians of BOTH the mean and the predictive std.
+
+    Returns (mu (n_s,), var (n_s,), jac_mu (n_s, d_in), jac_sigma (n_s, d_in))
+    with d_in = n_s + n_u and jac_sigma = d sqrt(var) / dz.
+
+    Parity: the full return of ``SimpleGPModel.predictive_gradients`` /
+    GPy ``predictive_gradients`` (SURVEY.md §2.3, §3.4) — the reference's SSM
+    ABC exposes the std gradient alongside the mean Jacobian even though the
+    reachability linearization consumes only the mean part
+    (:func:`ssm_predict_jac` is the hot-loop form). One fused ``jacfwd`` pass
+    over the protocol's predict serves every SSM family; the GP families could
+    use closed forms, but this path is diagnostics/exploration-grade, not the
+    solver hot loop.
+    """
+    z = jnp.concatenate([x, u], axis=-1)
+
+    def mean_std_aux(zz):
+        mu_, var_ = ssm.predict_latent(zz)
+        return jnp.stack([mu_, jnp.sqrt(var_)]), (mu_, var_)
+
+    jac, (mu, var) = jax.jacfwd(mean_std_aux, has_aux=True)(z)
+    return mu, var, jac[0], jac[1]
 
 
 def ssm_noise_var(ssm) -> jax.Array:

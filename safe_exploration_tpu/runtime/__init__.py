@@ -19,10 +19,12 @@ from safe_exploration_tpu.runtime.episode import (
 )
 from safe_exploration_tpu.runtime.exploration import run_exploration
 from safe_exploration_tpu.runtime.metrics import AggregatedMetrics
+from safe_exploration_tpu.runtime.serve import ServeController
 from safe_exploration_tpu.runtime.uncertainty import run_uncertainty_estimation
 
 __all__ = [
     "CONFIGS", "ExperimentConfig", "build_experiment", "register_config",
     "collect_initial_data", "rollout_episode", "run_episodic",
     "run_exploration", "run_uncertainty_estimation", "AggregatedMetrics",
+    "ServeController",
 ]
