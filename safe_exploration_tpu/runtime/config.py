@@ -45,6 +45,16 @@ class ExperimentConfig:
     # scenarios) | "batch" (mesh-sharded parallel episodes, BASELINE cfg 3)
     task: str = "episodic"
     batch_lanes: int = 256           # parallel episode lanes for task="batch"
+    # ONLINE-learning episode runner for task="batch": "auto" (= "vmapped" —
+    # the measured winner: the per-step lane GP append/predict on batch-last
+    # per-lane buffers is VPU/bandwidth-bound and the vmapped runner measures
+    # ~1.9x faster end-to-end at the benched regime, bench.py
+    # batch_episode_steps_per_sec[_vmapped]: 454.6 vs 241.6 steps/s at equal
+    # feasibility) | "vmapped" | "lanes" (the lane-major per-lane-buffer
+    # runner — still the only path for pre-stacked LaneGPSSM models, and the
+    # batched SOLVE inside both runners always rides the lane SQP backend
+    # where supported)
+    batch_backend: str = "auto"
     env: str = "pendulum"
     solver: str = "cem"              # "cem" | "sqp"
     objective: str = "tracking"      # "tracking" | "exploration"
@@ -92,9 +102,10 @@ class ExperimentConfig:
     # vector lanes; same algorithm, different noise stream). The BATCHED
     # entries always auto-dispatch to the lane backend where supported.
     cem_backend: str = "portable"
-    # GP posterior impl for the lane CEM scorer: "auto" (fused Pallas VMEM
-    # kernel on TPU for all-RBF shared/sparse models) | "xla" | "pallas" —
-    # see solvers/cem.CemConfig.gp_impl
+    # GP posterior impl for the lane CEM scorer: "auto" (= XLA — the fused
+    # Pallas posterior kernel measures slower than XLA's fused chain on v5e,
+    # bench.py cem_solves_per_sec A/B, so it stays undispatched library
+    # code) | "xla" | "pallas" (force, TPU only) — solvers/cem.CemConfig
     cem_gp_impl: str = "auto"
 
     # SQP knobs
@@ -461,7 +472,7 @@ register_config(
 # runtime/main routes here via lane_batch_supported)
 register_config(
     ExperimentConfig(
-        name="pendulum_batch_sqp", task="batch", solver="sqp",
+        name="pendulum_batch_sqp", task="batch", batch_backend="lanes", solver="sqp",
         batch_lanes=256, n_safe=3, n_max=128, n_steps=20, n_init_samples=24,
         n_ep=4,  # 4 episodes/lane: 24 + 4*20 = 104 <= n_max=128
         sqp_outer=4, sqp_inner=3,
@@ -485,7 +496,7 @@ register_config(
 # lane-major pipeline (n_s=4 rides the array-form lane rollout)
 register_config(
     ExperimentConfig(
-        name="cartpole_batch_sqp", task="batch", env="cartpole",
+        name="cartpole_batch_sqp", task="batch", batch_backend="lanes", env="cartpole",
         solver="sqp", kern_types=("rbf",), batch_lanes=128,
         n_safe=6, n_perf=10, r_shared=2, c_safety=2.0, n_max=128,
         n_steps=16, n_init_samples=40, n_ep=4,
@@ -508,7 +519,7 @@ register_config(
 # algebra at n_s=6 (6x6 lane ellipsoid blocks, 6-var Newton systems)
 register_config(
     ExperimentConfig(
-        name="quadrotor_batch_sqp", task="batch", env="quadrotor",
+        name="quadrotor_batch_sqp", task="batch", batch_backend="lanes", env="quadrotor",
         solver="sqp", kern_types=("rbf",), batch_lanes=64,
         n_safe=3, n_perf=5, r_shared=1, n_max=96, c_safety=1.5,
         n_steps=8, n_init_samples=40, n_ep=2, log_noise=-4.5,

@@ -128,13 +128,20 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
         x0s = spec.init_m + spec.init_std * jax.random.normal(
             k3, (lanes, spec.n_s), dtype
         )
-        # lane-major backend (per-lane GP buffers + lane SQP) when the
-        # configuration supports it; the vmapped portable runner otherwise
-        use_lanes = (
+        # ONLINE-episode runner selection (cfg.batch_backend): "auto" routes
+        # to the vmapped runner — the measured winner for the per-step
+        # append/predict loop (bench.py batch_episode A/B: ~1.9x) — while
+        # "lanes" forces the lane-major per-lane-buffer runner when the
+        # configuration supports it. The batched SOLVE inside either runner
+        # still rides the lane-major SQP where supported.
+        lanes_ok = (
             exp["get_action_batch"] is not None
             and exp["lane_batch_supported"] is not None
             and exp["lane_batch_supported"](ssm)
         )
+        if cfg.batch_backend not in ("auto", "lanes", "vmapped"):
+            raise SystemExit(f"unknown batch_backend {cfg.batch_backend!r}")
+        use_lanes = lanes_ok and cfg.batch_backend == "lanes"
         if cfg.n_ep > 1:
             # N independent FULL learning runs: per-episode rollouts +
             # between-episode per-lane hyperopt (the reference's episodic

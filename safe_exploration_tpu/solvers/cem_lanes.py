@@ -119,17 +119,18 @@ def cem_plan_lanes(
     bmat = s_lift.T @ s_lift
     tube_cfg = _TubeCfg(n_safe=t_len, c_safety=c_safety, n_perf=cfg.n_perf)
     # scoring is forward-only (no AD through the tube), so the fused Pallas
-    # posterior kernel is eligible; "auto" takes it on TPU for qualifying
-    # models (measured A/B in bench.py decides the default stays honest)
+    # posterior kernel is ELIGIBLE here — but the measured A/B says XLA's
+    # fused chain wins at scorer scale on v5e (bench.py cem_solves_per_sec
+    # vs _xla_gp: 37.6k vs 40.6k solves/s), so "auto" resolves to XLA and
+    # the kernel stays library code (same honest-dispatch policy as
+    # ops/pallas/{gram,cholesky,trsm}); "pallas" forces it where supported.
     impl = cfg.gp_impl
     if impl == "auto":
-        impl = (
-            "pallas"
-            if (gp_pallas_supported(ssm) and dtype == jnp.float32
-                and jax.default_backend() == "tpu")
-            else "xla"
-        )
-    elif impl == "pallas" and not gp_pallas_supported(ssm):
+        impl = "xla"
+    elif impl == "pallas" and not (
+        gp_pallas_supported(ssm) and dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
         impl = "xla"
 
     def make_score(x0_cols):
