@@ -376,6 +376,20 @@ def lane_append_point(
     stay untouched, exactly as in gp_append_point.
     """
     gp = lssm.gp
+    n_lanes = gp.x.shape[-1]
+    if x.ndim != 2 or x.shape[0] != n_lanes:
+        # LOCKSTEP CONTRACT (VERDICT r4 next #9): every lane shares ONE
+        # mask/head, so an append must carry exactly one transition for
+        # EVERY lane. A runner that appends for a subset (early-terminating
+        # or variable-length episodes) would silently desynchronize the
+        # shared-slot buffers — reject it loudly at trace time instead.
+        raise ValueError(
+            "lane_append_point requires one transition per lane in lockstep "
+            f"(shared mask/head): got x shape {tuple(x.shape)} for "
+            f"{n_lanes} lanes; per-lane variable-length schedules must use "
+            "the stacked (vmapped) runner, whose per-lane GPSSM pytrees "
+            "carry independent masks"
+        )
     z = jnp.concatenate([x, u], axis=-1).T                  # (d_in, B)
     if lssm.z_scale is not None:
         z = z / lssm.z_scale[:, None]

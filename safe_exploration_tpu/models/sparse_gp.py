@@ -118,10 +118,26 @@ def _factors_from_whitened(
     return lsig, alpha, vmat
 
 
+def _kuu_jitter(kuu: jax.Array) -> jax.Array:
+    """Cholesky jitter for Kuu, scaled to the dtype's ACTUAL rounding floor.
+
+    A fixed 1e-6 is fine in f64 but below f32's noise: the gram's rounding
+    error perturbs eigenvalues by ~eps * lambda_max ~ eps * tr(Kuu), which at
+    m=256/sf=1 is ~2.5e-5 — numerically-negative eigenvalues swamp a 1e-6
+    shift and chol NaNs (observed: 256 inducing points padded from 64 data
+    points, f32). 12*eps*tr covers that bound with margin; the 1e-6 floor
+    keeps f64 behavior (and the frozen f64 goldens) bit-identical.
+    """
+    eps = jnp.finfo(kuu.dtype).eps
+    return jnp.maximum(jnp.asarray(_JITTER, kuu.dtype),
+                       12.0 * eps * jnp.trace(kuu))
+
+
 def _factors_dim(kt, params, z, x, mask, y_d, noise_var):
     """(luu, lsig, alpha, vmat) for one output dim (whitened-stable form)."""
     m = z.shape[0]
-    kuu = gram(kt, params, z, z) + _JITTER * jnp.eye(m, dtype=z.dtype)
+    kuu0 = gram(kt, params, z, z)
+    kuu = kuu0 + _kuu_jitter(kuu0) * jnp.eye(m, dtype=z.dtype)
     kuf = gram(kt, params, z, x) * mask[None, :]  # (m, n)
     luu = jnp.linalg.cholesky(kuu)
     sn = jnp.sqrt(noise_var)
@@ -169,7 +185,14 @@ def sparse_gp_init(
     dtype = x.dtype
     if z is None:
         idx = jnp.linspace(0, max(n - 1, 0), n_inducing).astype(jnp.int32)
-        z = x[idx] + 1e-4 * jnp.sin(
+        # jitter scale matters when n < m: the even subsample then REPEATS
+        # data points, and near-duplicate inducing inputs make Kuu
+        # numerically singular (observed: NaN whitened factors in f32 at
+        # 1e-4 spacing with O(1) lengthscales — 64 points padded to m=256).
+        # Inducing inputs are free variational parameters, so a 1e-2 spread
+        # is equally valid and keeps chol(Kuu) well-conditioned; with n >= m
+        # the subsample has no duplicates and the jitter is cosmetic.
+        z = x[idx] + 1e-2 * jnp.sin(
             jnp.arange(n_inducing, dtype=dtype)[:, None]
             * jnp.arange(1, d_in + 1, dtype=dtype)[None, :]
         )
@@ -303,7 +326,8 @@ def sparse_gp_elbo(
     for d in range(sgp.n_out):
         kt = sgp.kern_types[d]
         noise_var = jnp.exp(2.0 * log_noise[d]) + _JITTER
-        kuu = gram(kt, params[d], zi, zi) + _JITTER * eye
+        kuu0 = gram(kt, params[d], zi, zi)
+        kuu = kuu0 + _kuu_jitter(kuu0) * eye
         kuf = gram(kt, params[d], zi, sgp.x) * sgp.mask[None, :]
         luu = jnp.linalg.cholesky(kuu)
         a = jax.scipy.linalg.solve_triangular(luu, kuf, lower=True) / jnp.sqrt(noise_var)

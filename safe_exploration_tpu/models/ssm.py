@@ -201,27 +201,29 @@ def ssm_predict_jac(ssm, x: jax.Array, u: jax.Array):
 
 
 def ssm_predict_grads(ssm, x: jax.Array, u: jax.Array):
-    """Prediction + input-Jacobians of BOTH the mean and the predictive std.
+    """Prediction + input-Jacobians of BOTH the mean and predictive VARIANCE.
 
-    Returns (mu (n_s,), var (n_s,), jac_mu (n_s, d_in), jac_sigma (n_s, d_in))
-    with d_in = n_s + n_u and jac_sigma = d sqrt(var) / dz.
+    Returns (mu (n_s,), var (n_s,), jac_mu (n_s, d_in), jac_var (n_s, d_in))
+    with d_in = n_s + n_u and jac_var = d var / dz — the VARIANCE-gradient
+    convention of GPy ``predictive_gradients`` (∂σ²/∂z), which the reference's
+    SSM ABC inherits (SURVEY.md §2.3/§3.4). ADVICE r4: an earlier revision
+    returned the STD gradient d sqrt(var)/dz, which both diverged from the
+    reference convention and blows up as var→0 (the 1/(2σ) factor); callers
+    that want the std gradient can form jac_var / (2 * sqrt(var)) where var is
+    safely bounded away from zero.
 
-    Parity: the full return of ``SimpleGPModel.predictive_gradients`` /
-    GPy ``predictive_gradients`` (SURVEY.md §2.3, §3.4) — the reference's SSM
-    ABC exposes the std gradient alongside the mean Jacobian even though the
-    reachability linearization consumes only the mean part
-    (:func:`ssm_predict_jac` is the hot-loop form). One fused ``jacfwd`` pass
-    over the protocol's predict serves every SSM family; the GP families could
-    use closed forms, but this path is diagnostics/exploration-grade, not the
-    solver hot loop.
+    One fused ``jacfwd`` pass over the protocol's predict serves every SSM
+    family; the GP families could use closed forms, but this path is
+    diagnostics/exploration-grade, not the solver hot loop
+    (:func:`ssm_predict_jac` is the hot-loop form).
     """
     z = jnp.concatenate([x, u], axis=-1)
 
-    def mean_std_aux(zz):
+    def mean_var_aux(zz):
         mu_, var_ = ssm.predict_latent(zz)
-        return jnp.stack([mu_, jnp.sqrt(var_)]), (mu_, var_)
+        return jnp.stack([mu_, var_]), (mu_, var_)
 
-    jac, (mu, var) = jax.jacfwd(mean_std_aux, has_aux=True)(z)
+    jac, (mu, var) = jax.jacfwd(mean_var_aux, has_aux=True)(z)
     return mu, var, jac[0], jac[1]
 
 

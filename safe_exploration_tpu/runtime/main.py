@@ -141,6 +141,18 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
         )
         if cfg.batch_backend not in ("auto", "lanes", "vmapped"):
             raise SystemExit(f"unknown batch_backend {cfg.batch_backend!r}")
+        if cfg.batch_backend == "lanes" and not lanes_ok:
+            # a config that PINS the lane pipeline (the *_batch_sqp entries
+            # do, specifically to keep it exercised) must not silently run
+            # the vmapped runner instead (ADVICE r4)
+            import warnings
+
+            warnings.warn(
+                f"config '{cfg.name}' pins batch_backend='lanes' but the "
+                "lane episode runner does not support this model/solver "
+                "configuration — falling back to the vmapped runner",
+                stacklevel=2,
+            )
         use_lanes = lanes_ok and cfg.batch_backend == "lanes"
         if cfg.n_ep > 1:
             # N independent FULL learning runs: per-episode rollouts +
@@ -209,6 +221,63 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             for name, vals in out["series"].items():
                 metrics.log_scalar(name, vals[0], step=0)
             metrics.flush()
+    elif cfg.task == "serve":
+        # production deployment surface: drive the AOT-compiled
+        # ServeController against the simulated plant (the reference's
+        # get_action+update_model loop, SURVEY.md §3.3, behind fixed-shape
+        # pre-compiled executables — runtime/serve.py)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from safe_exploration_tpu.models.ssm import (
+            calibrate_lipschitz,
+            ssm_fit,
+        )
+        from safe_exploration_tpu.runtime.episode import collect_initial_data
+        from safe_exploration_tpu.runtime.serve import ServeController
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        xs, us, resid = collect_initial_data(
+            exp["env"], k1, cfg.n_init_samples, exp["a"], exp["b"], exp["k_fb"]
+        )
+        ssm = exp["make_ssm"](k2, xs, us, resid)
+        ssm = jax.jit(lambda s: calibrate_lipschitz(
+            ssm_fit(s, iters=cfg.hyp_iters), exp["env"].spec
+        ))(ssm)
+        from safe_exploration_tpu.envs import env_step
+
+        ctrl = ServeController(exp, ssm, key=k3, on_full="drop")
+        spec = exp["env"].spec
+        x = np.asarray(jax.device_get(
+            spec.init_m + spec.init_std * jax.random.normal(
+                jax.random.fold_in(k3, 1), (spec.n_s,), dtype
+            )
+        ))
+        feas, viol = [], 0
+        for i in range(cfg.n_steps):
+            u = ctrl.step(x)
+            _, x_next = env_step(
+                exp["env"], jax.random.fold_in(k3, 2 + i),
+                jnp.asarray(x, dtype), jnp.asarray(u, dtype),
+            )
+            x_next = np.asarray(jax.device_get(x_next))
+            ctrl.observe(x, u, x_next)
+            feas.append(bool(ctrl.last_feasible))
+            if np.any(spec.h_mat_obs @ x_next - spec.h_obs > 0.0):
+                viol += 1
+            x = x_next
+        stats = ctrl.latency_stats()
+        out = {"series": {
+            "feasibility_rate": [float(np.mean(feas))],
+            "violations": [viol],
+            "recompiles": [ctrl.recompiles],
+            "dropped_points": [ctrl.dropped_points],
+            "latency_p50_ms": [stats["p50_ms"]],
+            "latency_p99_ms": [stats["p99_ms"]],
+        }}
+        for name, vals in out["series"].items():
+            metrics.log_scalar(name, vals[0], step=0)
+        metrics.flush()
     elif cfg.task == "uncertainty":
         import jax.numpy as jnp
 

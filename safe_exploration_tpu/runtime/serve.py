@@ -28,6 +28,7 @@ shapes, fixed budgets, one executable per bucket, microsecond-stable dispatch.
 
 from __future__ import annotations
 
+import collections
 import time
 
 import jax
@@ -47,24 +48,50 @@ class ServeController:
       ssm: the trained SSM (exact-GP family required for ``observe``; any
         SSM family works for pure ``step`` serving).
       key: PRNG key for sampling-based planners (split per step on device).
+      on_full: what ``observe`` does once the GP buffer saturates
+        (``head == n_max``): ``"raise"`` (default — a silent learning stop is
+        the one production failure mode that must be loud; parity with
+        ``SimpleGPModel.update_model``'s explicit error, SURVEY.md §2.3 and
+        the batch runner's host-side guard, runtime/batch.py) or ``"drop"``
+        (count the dropped transition in ``dropped_points`` and keep serving
+        on the frozen model — for deployments that prefer degraded learning
+        over an exception in the control loop).
+      latency_window: ring-buffer size for step-latency samples (a long-lived
+        controller must not grow host memory without bound).
 
     The planner, horizon, budgets and model bucket are all frozen into the
     compiled executable; ``step`` accepts exactly one state vector of the
     environment's shape/dtype.
     """
 
-    def __init__(self, exp: dict, ssm, key: jax.Array | None = None):
+    def __init__(self, exp: dict, ssm, key: jax.Array | None = None, *,
+                 on_full: str = "raise", latency_window: int = 4096):
+        if on_full not in ("raise", "drop"):
+            raise ValueError(f"on_full must be 'raise' or 'drop', got {on_full!r}")
         self._exp = exp
         self._ssm_full = ssm
         self._spec = exp["env"].spec
         self._dtype = exp["a"].dtype
         self._state = exp["init_state"]()
         self._key = jax.random.PRNGKey(0) if key is None else key
-        self._latencies: list[float] = []
+        self._latencies: collections.deque[float] = collections.deque(
+            maxlen=latency_window
+        )
+        self._last_flags: tuple = (False, 0, 0.0)
+        self._on_full = on_full
+        self.dropped_points = 0
         self.recompiles = 0
         self._step_exec = None
         self._append_exec = None
         self._bucket_n = -1
+        # buffer occupancy, tracked host-side (capacity is static; the count
+        # starts at the model's current head and bumps per accepted append) —
+        # the saturation guard must not cost a device sync per observe()
+        gp = getattr(ssm, "gp", None)
+        self._capacity = int(gp.x.shape[0]) if gp is not None else 0
+        self._n_pts = (
+            int(jax.device_get(gp.head)) if gp is not None else 0
+        )
         self._compile_step()
 
     # ------------------------------------------------------------------ build
@@ -89,6 +116,10 @@ class ServeController:
             .compile()
         )
         self.recompiles += 1
+        # the next step() pays this executable's one-time host linking — its
+        # latency sample is excluded from latency_stats (per-executable, not
+        # just the global first step; ADVICE r4)
+        self._skip_next_latency = True
 
     def _compile_append(self) -> None:
         def _append(ssm, x, u, y):
@@ -125,7 +156,10 @@ class ServeController:
             self._state, self._ssm_plan, x, self._key
         )
         u = np.asarray(jax.block_until_ready(u))
-        self._latencies.append(time.perf_counter() - t0)
+        if self._skip_next_latency:
+            self._skip_next_latency = False  # first call of this executable
+        else:
+            self._latencies.append(time.perf_counter() - t0)
         self._last_flags = tuple(np.asarray(f) for f in flags)
         return u
 
@@ -144,7 +178,23 @@ class ServeController:
         incremental GP update. If the append crosses a power-of-2 bucket
         boundary, the step executable is re-AOT-compiled for the new bucket
         (counted in ``recompiles`` — O(log n_max) over a deployment).
+
+        Once the buffer saturates (``head == n_max``) the device-side append
+        is a gated no-op (models/gp.gp_append_point) — learning would stop
+        SILENTLY. This guard makes it loud: raises RuntimeError by default,
+        or counts into ``dropped_points`` under ``on_full="drop"``.
         """
+        if self._capacity and self._n_pts >= self._capacity:
+            if self._on_full == "raise":
+                raise RuntimeError(
+                    f"ServeController GP buffer is full ({self._n_pts}/"
+                    f"{self._capacity} points): observe() would silently stop "
+                    "learning. Build the controller with a larger n_max, or "
+                    "pass on_full='drop' to keep serving on the frozen model "
+                    "(dropped transitions counted in .dropped_points)."
+                )
+            self.dropped_points += 1
+            return
         if self._append_exec is None:
             self._compile_append()
         x = jnp.asarray(x, self._dtype)
@@ -153,6 +203,7 @@ class ServeController:
             self._exp["a"] @ x + self._exp["b"] @ u
         )
         self._ssm_full = self._append_exec(self._ssm_full, x, u, y)
+        self._n_pts += 1
         new_plan = ssm_bucketed(self._ssm_full)
         if int(self._bucket_size(new_plan)) != self._bucket_n:
             self._compile_step()
@@ -160,9 +211,15 @@ class ServeController:
             self._ssm_plan = new_plan
 
     def latency_stats(self) -> dict:
-        """p50/p99/mean step latency in milliseconds (excludes the first
-        step of each executable, which still pays one-time host linking)."""
-        lat = np.asarray(self._latencies[1:] or self._latencies) * 1e3
+        """p50/p99/mean step latency in milliseconds over the (bounded) sample
+        window. The first step after EACH (re)compile is excluded at record
+        time — it pays one-time host linking, not serving (ADVICE r4: the old
+        code dropped only the global first sample, so post-recompile p99
+        measured linking)."""
+        lat = np.asarray(self._latencies, dtype=np.float64) * 1e3
+        if lat.size == 0:
+            return {"n": 0, "p50_ms": float("nan"), "p99_ms": float("nan"),
+                    "mean_ms": float("nan")}
         return {
             "n": int(lat.size),
             "p50_ms": float(np.percentile(lat, 50)),

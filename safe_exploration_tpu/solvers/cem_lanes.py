@@ -38,6 +38,7 @@ from safe_exploration_tpu.models.sparse_gp import SparseGPSSM
 from safe_exploration_tpu.models.ssm import GPSSM
 from safe_exploration_tpu.solvers.cem import CemConfig, cem_warm_len
 from safe_exploration_tpu.solvers.sqp_lanes import (
+    _LANE_COSTS,
     _cost_lanes,
     _dist_lanes,
     _gp_of,
@@ -67,7 +68,10 @@ def cem_lanes_supported(ssm, cost_kind: str) -> bool:
     return (
         all(kt in _KERNEL_PARTS for kt in gp.kern_types)
         and getattr(gp, "precision", "f32") == "f32"
-        and cost_kind in ("tracking", "exploration")
+        # Σ-free costs only (sqp_lanes._LANE_COSTS): the lane perf rollout
+        # skips the covariance recursion, so Σ-consuming costs (e.g.
+        # "risk_tracking") fall back to the vmapped portable planner
+        and cost_kind in _LANE_COSTS
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tracking_cost", "exploration_cost"]
+__all__ = ["tracking_cost", "exploration_cost", "risk_tracking_cost"]
 
 
 def tracking_cost(
@@ -32,6 +32,44 @@ def tracking_cost(
         stage = w_x * jnp.sum(dx[:-1] * dx[:-1]) + w_u * jnp.sum(k_ff_all * k_ff_all)
         term = w_terminal * jnp.sum(dx[-1] * dx[-1])
         return stage + term
+
+    return cost_fn
+
+
+def risk_tracking_cost(
+    target: jax.Array,
+    w_x: float = 1.0,
+    w_u: float = 0.1,
+    w_terminal: float = 5.0,
+    w_sigma: float = 1.0,
+):
+    """Risk-sensitive tracking: the quadratic tracking objective plus a
+    variance price ``w_sigma * sum_t trace(Sigma_t)`` on the propagated state
+    covariance.
+
+    This is the objective that CONSUMES the performance-trajectory covariance
+    recursion (reference ``uncertainty_propagation_casadi.py::one_step_taylor``,
+    SURVEY.md §2.4): under ``perf_trajectory="taylor"`` Sigma_t follows
+    H Sigma H^T + diag(var) through the closed-loop linearization, so plans
+    that pass through high-uncertainty or strongly-amplifying regions pay for
+    it and ``"taylor"`` vs ``"mean_equivalent"`` produce genuinely different
+    plans (pinned in tests/test_perf_trajectory_sqp.py). With ``n_perf = 0``
+    the same functional reads the SAFETY tube's ellipsoid shapes q_traj —
+    trace(Q_t) prices tube growth directly.
+
+    NOTE for the lane backends: this cost reads Sigma, which the lane-major
+    perf rollout deliberately does not propagate (solvers/sqp_lanes.
+    _rollout_perf_lanes) — ``risk_tracking`` is therefore NOT in the lane
+    cost whitelist (``sqp_lanes._LANE_COSTS``) and batched solves fall back
+    to the vmapped portable path honestly.
+    """
+
+    def cost_fn(p_traj, q_traj, var_traj, k_ff_all):
+        dx = p_traj - target
+        stage = w_x * jnp.sum(dx[:-1] * dx[:-1]) + w_u * jnp.sum(k_ff_all * k_ff_all)
+        term = w_terminal * jnp.sum(dx[-1] * dx[-1])
+        risk = w_sigma * jnp.sum(jnp.trace(q_traj, axis1=-2, axis2=-1))
+        return stage + term + risk
 
     return cost_fn
 

@@ -84,6 +84,12 @@ class SqpConfig(NamedTuple):
     # backtracking closes ~half of the gap between the 10x3 budget and the
     # 25x8 oracle ceiling on cold-start feasibility).
     n_polish: int = 3
+    # VIOLATION-GATED extra polish (VERDICT r4 next #8): after the whole
+    # schedule, if the solve is still infeasible, run up to this many more
+    # polish steps under a lax.cond — free when the budget already converged
+    # (warm re-solves), and recovers marginal lanes on short cold budgets
+    # (the fast 10x3+3 row) without paying for them on the happy path.
+    n_polish_extra: int = 0
     # rescue burst: extra AL outer iterations AFTER the polish, warm-started
     # from the polished primal with fresh multipliers at a boosted penalty —
     # IPOPT's "restore then re-optimize" move for lanes the first AL pass
@@ -398,7 +404,7 @@ def solve_al_nlp(
         length=cfg.n_outer,
     )
 
-    def do_polish(u_in):
+    def do_polish(u_in, n_steps=0):
         # feasibility restoration: damped Gauss-Newton on the violation only,
         # backtracking over step fractions; never increases the violation
         # (all candidates rejected otherwise), so feasible lanes are untouched.
@@ -418,7 +424,8 @@ def solve_al_nlp(
             take = viols[best] < jnp.sum(v)
             return jnp.where(take, cands[best], u), None
 
-        u_out, _ = jax.lax.scan(polish_step, u_in, None, length=cfg.n_polish)
+        u_out, _ = jax.lax.scan(polish_step, u_in, None,
+                                length=n_steps or cfg.n_polish)
         return u_out
 
     if cfg.n_polish > 0:
@@ -434,6 +441,17 @@ def solve_al_nlp(
         )
         if cfg.n_polish > 0:
             u_fin = do_polish(u_fin)
+
+    if cfg.n_polish_extra > 0:
+        # violation-gated: only pay for the extra restoration when the
+        # budget left this instance infeasible (lax.cond skips it at runtime)
+        still_bad = (
+            jnp.sum(jnp.maximum(constraints(u_fin), 0.0)) > cfg.feas_tol
+        )
+        u_fin = jax.lax.cond(
+            still_bad, lambda u: do_polish(u, cfg.n_polish_extra),
+            lambda u: u, u_fin,
+        )
 
     return u_fin, lam_fin, constraints(u_fin)
 
@@ -546,7 +564,7 @@ def solve_al_nlp_gn(
         length=cfg.n_outer,
     )
 
-    def do_polish(u_in):
+    def do_polish(u_in, n_steps=0):
         def polish_step(u, _):
             def out_aux(uu):
                 yy = outputs(uu)
@@ -570,7 +588,8 @@ def solve_al_nlp_gn(
             take = viols[best] < jnp.sum(v)
             return jnp.where(take, cands[best], u), None
 
-        u_out, _ = jax.lax.scan(polish_step, u_in, None, length=cfg.n_polish)
+        u_out, _ = jax.lax.scan(polish_step, u_in, None,
+                                length=n_steps or cfg.n_polish)
         return u_out
 
     if cfg.n_polish > 0:
@@ -586,6 +605,18 @@ def solve_al_nlp_gn(
         )
         if cfg.n_polish > 0:
             u_fin = do_polish(u_fin)
+
+    if cfg.n_polish_extra > 0:
+        # violation-gated extra restoration (see SqpConfig.n_polish_extra):
+        # free at runtime when the schedule already converged
+        still_bad = (
+            jnp.sum(jnp.maximum(dist_small(outputs(u_fin)), 0.0))
+            > cfg.feas_tol
+        )
+        u_fin = jax.lax.cond(
+            still_bad, lambda u: do_polish(u, cfg.n_polish_extra),
+            lambda u: u, u_fin,
+        )
 
     return u_fin, lam_fin, dist_small(outputs(u_fin))
 

@@ -189,6 +189,24 @@ def test_lane_append_saturates_on_full_buffer():
         np.testing.assert_array_equal(f, a_)
 
 
+def test_lane_append_lockstep_guard():
+    """VERDICT r4 next #9: the lane tier's shared mask/head REQUIRE lockstep
+    appends — feeding transitions for a subset of lanes (the variable-length-
+    episode hazard) must be rejected loudly at trace time, not silently
+    desynchronize the shared-slot buffers."""
+    import pytest
+
+    _, ssm, _, _ = _make_ssm(jnp.float64)
+    lssm = lane_stack_ssm(ssm, 4)
+    xs, us, ys = _rand_transitions(jax.random.PRNGKey(3), 3, 1, jnp.float64)
+    with pytest.raises(ValueError, match="lockstep"):
+        lane_append_point(lssm, xs[0], us[0], ys[0])   # 3 rows for 4 lanes
+    with pytest.raises(ValueError, match="lockstep"):
+        lane_append_point(
+            lssm, xs[0, 0], us[0, 0], ys[0, 0]         # unbatched
+        )
+
+
 def test_lane_unstack_roundtrip():
     """lane_unstack_ssm rebuilds exact stacked factors from the lane state:
     the re-factorized per-lane GPs reproduce the lane posteriors."""

@@ -230,10 +230,12 @@ def test_predict_jac_values_match_plain_predict(rng):
 
 def test_ssm_predict_grads_full_gradient_return(rng):
     """ssm_predict_grads mirrors the reference's predictive_gradients: BOTH
-    the mean Jacobian and the std gradient (SURVEY.md §2.3/§3.4). The mean
-    block must match the closed-form hot-loop path (ssm_predict_jac) and the
-    std block must match a finite difference of sqrt(var), with the z_scale
-    chain rule applied to both."""
+    the mean Jacobian and the VARIANCE gradient ∂σ²/∂z (GPy's convention,
+    SURVEY.md §2.3/§3.4 — ADVICE r4: the std-gradient form diverged from the
+    reference and blows up as var→0). The mean block must match the
+    closed-form hot-loop path (ssm_predict_jac) and the variance block must
+    match a finite difference of var, with the z_scale chain rule applied to
+    both."""
     from safe_exploration_tpu.models.ssm import (
         make_gp_ssm,
         ssm_predict,
@@ -251,8 +253,8 @@ def test_ssm_predict_grads_full_gradient_return(rng):
     )
     xq = jnp.asarray(rng.standard_normal(2)) * 0.3
     uq = jnp.asarray(rng.standard_normal(1)) * 0.3
-    mu, var, jac_mu, jac_sigma = ssm_predict_grads(ssm, xq, uq)
-    assert jac_mu.shape == (2, 3) and jac_sigma.shape == (2, 3)
+    mu, var, jac_mu, jac_var = ssm_predict_grads(ssm, xq, uq)
+    assert jac_mu.shape == (2, 3) and jac_var.shape == (2, 3)
     mu_h, var_h, jx_h, ju_h = ssm_predict_jac(ssm, xq, uq)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_h), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_h), rtol=1e-10)
@@ -260,7 +262,7 @@ def test_ssm_predict_grads_full_gradient_return(rng):
         np.asarray(jac_mu), np.asarray(jnp.concatenate([jx_h, ju_h], axis=1)),
         rtol=1e-8, atol=1e-10,
     )
-    # std gradient vs central finite differences in RAW input coordinates
+    # variance gradient vs central finite differences in RAW input coordinates
     eps = 1e-5
     z0 = np.concatenate([np.asarray(xq), np.asarray(uq)])
     fd = np.zeros((2, 3))
@@ -268,14 +270,14 @@ def test_ssm_predict_grads_full_gradient_return(rng):
         zp, zm = z0.copy(), z0.copy()
         zp[j] += eps
         zm[j] -= eps
-        sp = np.sqrt(np.asarray(
+        vp = np.asarray(
             ssm_predict(ssm, jnp.asarray(zp[:2]), jnp.asarray(zp[2:]))[1]
-        ))
-        sm = np.sqrt(np.asarray(
+        )
+        vm = np.asarray(
             ssm_predict(ssm, jnp.asarray(zm[:2]), jnp.asarray(zm[2:]))[1]
-        ))
-        fd[:, j] = (sp - sm) / (2 * eps)
-    np.testing.assert_allclose(np.asarray(jac_sigma), fd, rtol=2e-4, atol=1e-7)
+        )
+        fd[:, j] = (vp - vm) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(jac_var), fd, rtol=2e-4, atol=1e-7)
 
 
 def test_z_scale_normalized_training_equivalence(rng):

@@ -116,6 +116,84 @@ def test_mean_equivalent_method_also_solves(perf_exp):
     assert bool(jnp.isfinite(info["cost"]))
 
 
+def test_risk_cost_consumes_propagated_covariance(perf_exp):
+    """solvers/costs.risk_tracking_cost must read the propagated Sigma: at a
+    FIXED control sequence the taylor and mean_equivalent recursions give
+    different covariances, hence different risk costs (VERDICT r4 missing #3:
+    previously NO registered objective consumed sigma_traj, so the
+    perf_trajectory knob was cosmetic)."""
+    from safe_exploration_tpu.solvers.costs import risk_tracking_cost
+
+    _, exp, ssm = perf_exp
+    x0 = jnp.asarray([0.05, 0.1], jnp.float64)
+    u_perf = 0.3 * jnp.sin(jnp.arange(6.0, dtype=jnp.float64))[:, None]
+    cost_fn = risk_tracking_cost(exp["env"].spec.target, w_sigma=1.0)
+    vals = {}
+    for method in ("taylor", "mean_equivalent"):
+        p, s, v = multi_step_propagation(
+            ssm, x0, u_perf, exp["a"], exp["b"], method=method
+        )
+        vals[method] = float(cost_fn(p, s, v, u_perf))
+        # w_sigma actually prices Sigma: zeroing it changes the value
+        base = risk_tracking_cost(exp["env"].spec.target, w_sigma=0.0)
+        assert abs(vals[method] - float(base(p, s, v, u_perf))) > 1e-10
+    assert abs(vals["taylor"] - vals["mean_equivalent"]) > 1e-10
+
+
+def test_risk_cost_taylor_vs_mean_equivalent_solve_differently(perf_exp):
+    """End-to-end observability of the propagation method: under the
+    risk_tracking objective the SQP's optimal plans and objective values
+    DIFFER between perf_trajectory="taylor" and "mean_equivalent" (they are
+    pinned identical for the Σ-free stock costs)."""
+    _, _, ssm = perf_exp
+
+    def solve(method):
+        cfg = ExperimentConfig(
+            name=f"risk_{method}", solver="sqp", objective="risk_tracking",
+            w_sigma=25.0, n_safe=3, n_perf=6, r_shared=2, n_max=32,
+            sqp_outer=6, sqp_inner=4, perf_trajectory=method,
+        )
+        exp = build_experiment(cfg, dtype=jnp.float64)
+        x0 = jnp.asarray([0.05, 0.1], jnp.float64)
+        warm = jnp.zeros((3 + 6 - 2, 1), jnp.float64)
+        k_ff, feas, viol, info = exp["planner"](
+            jax.random.PRNGKey(0), ssm, x0, warm
+        )
+        assert bool(feas), float(viol)
+        return np.asarray(info["warm_next"]), float(info["cost"])
+
+    u_taylor, c_taylor = solve("taylor")
+    u_meaneq, c_meaneq = solve("mean_equivalent")
+    assert abs(c_taylor - c_meaneq) > 1e-9
+    assert float(np.max(np.abs(u_taylor - u_meaneq))) > 1e-9
+
+
+def test_risk_cost_lane_backend_falls_back_honestly(perf_exp):
+    """risk_tracking reads Sigma, which the lane perf rollout does not
+    propagate — the lane predicates must reject it (sqp_lanes._LANE_COSTS)
+    and build_experiment's batch_planner must transparently run the vmapped
+    portable path instead."""
+    from safe_exploration_tpu.solvers.cem_lanes import cem_lanes_supported
+    from safe_exploration_tpu.solvers.sqp_lanes import lanes_supported
+
+    _, _, ssm = perf_exp
+    scfg = SqpConfig(n_safe=3)
+    assert lanes_supported(ssm, scfg, "tracking")
+    assert not lanes_supported(ssm, scfg, "risk_tracking")
+    assert not cem_lanes_supported(ssm, "risk_tracking")
+
+    cfg = ExperimentConfig(
+        name="risk_batch", solver="sqp", objective="risk_tracking",
+        n_safe=3, n_max=32, sqp_outer=3, sqp_inner=2,
+    )
+    exp = build_experiment(cfg, dtype=jnp.float64)
+    x0s = jnp.asarray([[0.05, 0.1], [0.02, -0.05]], jnp.float64)
+    warm = jnp.zeros((2, 3, 1), jnp.float64)
+    k_ff, feas, viol, info = exp["batch_planner"](ssm, x0s, warm)
+    assert k_ff.shape == (2, 3, 1)
+    assert bool(jnp.all(jnp.isfinite(k_ff)))
+
+
 def test_opt_k_fb_joint_gain_optimization(perf_exp):
     """SURVEY.md §2.5 [M]: optional joint optimization of per-stage feedback
     gains. More decision freedom must not hurt the achieved violation, and the

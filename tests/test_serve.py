@@ -69,6 +69,65 @@ def test_serve_step_matches_research_path():
     assert stats["n"] >= 1 and stats["p99_ms"] > 0.0
 
 
+def test_serve_observe_saturation_guard_is_loud():
+    """A full GP buffer must not silently stop learning (VERDICT r4 #4a):
+    the default raises; on_full='drop' keeps serving on the frozen model and
+    counts the dropped transitions."""
+    import pytest
+
+    from safe_exploration_tpu.models.ssm import ssm_n_points
+
+    exp, ssm = _tiny_exp(_n_data=14, n_max=16)     # 2 free slots
+    ctrl = ServeController(exp, ssm, key=jax.random.PRNGKey(1))
+    env = exp["env"]
+    key = jax.random.PRNGKey(9)
+    x = np.asarray([0.05, 0.1], np.float64)
+    for i in range(2):                              # fills the buffer
+        u = ctrl.step(x)
+        _, x_next = env_step(env, jax.random.fold_in(key, i), jnp.asarray(x),
+                             jnp.asarray(u))
+        ctrl.observe(x, u, np.asarray(x_next))
+        x = np.asarray(x_next)
+    assert int(ssm_n_points(ctrl._ssm_full)) == 16
+    u = ctrl.step(x)
+    with pytest.raises(RuntimeError, match="full"):
+        ctrl.observe(x, u, x)
+
+    # drop mode: same saturated model, loud counter instead of an exception
+    ctrl2 = ServeController(exp, ctrl._ssm_full, key=jax.random.PRNGKey(2),
+                            on_full="drop")
+    u2 = ctrl2.step(x)
+    ctrl2.observe(x, u2, x)
+    ctrl2.observe(x, u2, x)
+    assert ctrl2.dropped_points == 2
+    assert int(ssm_n_points(ctrl2._ssm_full)) == 16   # model frozen, serving on
+    assert np.all(np.isfinite(ctrl2.step(x)))
+
+
+def test_serve_latency_window_and_per_executable_exclusion():
+    """latency_stats must exclude the first step of EACH executable (one-time
+    host linking — ADVICE r4: the old code only dropped the global first
+    sample) and the sample buffer must stay bounded."""
+    exp, ssm = _tiny_exp()
+    ctrl = ServeController(exp, ssm, latency_window=4)
+    x = np.asarray([0.05, 0.1], np.float64)
+    ctrl.step(x)
+    assert ctrl.latency_stats()["n"] == 0      # first step of the executable
+    ctrl.step(x)
+    ctrl.step(x)
+    assert ctrl.latency_stats()["n"] == 2
+    for _ in range(6):                          # window caps at 4
+        ctrl.step(x)
+    assert ctrl.latency_stats()["n"] == 4
+    # a recompile marks the NEXT step as excluded again
+    ctrl._compile_step()
+    ctrl.step(x)
+    assert ctrl.latency_stats()["n"] == 4      # unchanged: sample excluded
+    ctrl.step(x)
+    stats = ctrl.latency_stats()
+    assert stats["n"] == 4 and stats["p99_ms"] > 0.0
+
+
 def test_serve_observe_appends_and_recompiles_on_bucket_cross():
     """observe() feeds transitions through the incremental append; crossing
     the power-of-2 bucket boundary re-AOT-compiles exactly once and the
