@@ -40,7 +40,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype,
           outer: int = 14, inner: int = 3, polish: int = 6, rescue: int = 4,
-          backend: str = "lanes"):
+          polish_extra: int = 0, backend: str = "lanes"):
     from safe_exploration_tpu.envs import env_step
     from safe_exploration_tpu.models import make_gp_ssm
     from safe_exploration_tpu.runtime.config import ExperimentConfig, build_experiment
@@ -60,7 +60,7 @@ def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype,
     cfg = ExperimentConfig(
         name="bench", solver="sqp", n_safe=n_safe, n_max=n_max,
         sqp_outer=outer, sqp_inner=inner, sqp_polish=polish,
-        sqp_rescue=rescue,
+        sqp_rescue=rescue, sqp_polish_extra=polish_extra,
     )
     exp = build_experiment(cfg, dtype=dtype)
     env, a, b = exp["env"], exp["a"], exp["b"]
@@ -111,15 +111,26 @@ def build(batch: int, n_max: int, n_data: int, n_safe: int, dtype,
     return solve, ssm, x0s, warm
 
 
+# first-call (compile + warmup) time of the most recent bench_solves — the
+# cache probe the budget gate reads: with the persistent compile cache primed
+# this is seconds (disk hit); cold it is minutes on the 1-CPU host, and every
+# later sub-benchmark will be cold too (BENCH_r04: the stale cache burned the
+# whole budget on the headline and all ~21 secondary rows were skipped)
+_LAST_COMPILE_S: float = float("nan")
+
+
 def bench_solves(batch: int, iters: int, n_max: int, n_data: int, n_safe: int,
                  backend: str = "lanes", **budget):
+    global _LAST_COMPILE_S
     dtype = jnp.float32
     solve, ssm, x0s, warm = build(batch, n_max, n_data, n_safe, dtype,
                                   backend=backend, **budget)
 
-    # compile + warmup
+    # compile + warmup (timed: the budget gate's warm-vs-cold cache probe)
+    t0 = time.perf_counter()
     out = solve(x0s, warm)
     jax.block_until_ready(out)
+    _LAST_COMPILE_S = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(iters):
@@ -814,8 +825,11 @@ def main():
     signal.signal(signal.SIGTERM, _on_deadline)
     signal.signal(signal.SIGALRM, _on_deadline)
     # hard self-deadline a little past the soft budget: if one sub-benchmark
-    # blows through its estimate (cold cache), emit what we have and stop
-    signal.alarm(int(args.budget + 120))
+    # blows through its estimate (cold cache), emit what we have and stop.
+    # 150 s of grace: the second-chance pass below deliberately eats into it
+    # for cheap rows after an overrun (BENCH_r04 skipped ALL ~21 secondary
+    # rows at -40 s left, including 30 s ones the grace easily covers).
+    signal.alarm(int(args.budget + 150))
 
     def _safe(fn, default):
         """Secondary metrics must never sink the headline JSON line."""
@@ -877,79 +891,129 @@ def main():
 
     b, it, nm, nd, ns = (args.batch, args.iters, args.n_max, args.n_data,
                          args.n_safe)
+    # Each entry: (name, cold_est_s, warm_est_s, fill). cold = fresh XLA
+    # compiles on the 1-CPU host; warm = persistent compile cache primed
+    # (tools/prime_cache.sh runs at the END of the build round, AFTER the
+    # last traced-source commit — the r4 failure mode was a cache primed
+    # before late commits to traced source, making every estimate wrong).
+    # The gate picks the column from a MEASURED probe: the headline's own
+    # first-call time (_LAST_COMPILE_S), recorded in the JSON record as
+    # headline_compile_s so the driver artifact shows which regime ran.
+    # Ordered by evidential priority (VERDICT r4 next #1's done-list first).
     plan = [
         # steady-state closed loop: the production MPC regime
-        (120, _two(("warm_solves_per_sec", "warm_feasible_frac"),
+        ("warm", 120, 25, _two(("warm_solves_per_sec", "warm_feasible_frac"),
                    lambda: bench_warm_solves(b, it, nm, nd, ns))),
-        # cold fast budget (single GN-AL pass speed ceiling)
-        (60, _two(("fast_solves_per_sec", "fast_feasible_frac"),
+        # cold fast budget (single GN-AL pass speed ceiling) with the
+        # violation-gated extra polish (SqpConfig.n_polish_extra — VERDICT
+        # r4 next #8: recover feasibility on the short budget only for
+        # batches that need it)
+        ("fast", 60, 15, _two(("fast_solves_per_sec", "fast_feasible_frac"),
                   lambda: bench_solves(b, it, nm, nd, ns, outer=10, inner=3,
-                                       polish=3, rescue=0))),
-        # GP latency rows (device-side)
-        (90, _two(("gp_refit_chol_ms_n256", "gp_predict_jac_ms_n256"),
-                  bench_gp_latency, digits=(3, 3))),
-        (90, _two(("sparse_gp_refit_ms_n10k_m256", "sparse_gp_predict_us_n10k"),
-                  bench_large_gp, digits=(3, 2))),
+                                       polish=3, rescue=0, polish_extra=3))),
+        # layout A/B: the vmapped portable path behind the lane backend's win
+        ("portable", 240, 25,
+         _two(("portable_solves_per_sec", "portable_feasible_frac"),
+              lambda: bench_solves(b, it, nm, nd, ns, backend="portable"))),
+        # sparse model (BASELINE cfg 4 scale) inside the batched cold solve
+        ("sparse", 120, 35, _two(("sparse_solves_per_sec",
+                                  "sparse_feasible_frac"),
+                   bench_sparse_solves)),
+        # constrained-CEM batched solves (sampling-based solver family)
+        ("cem", 120, 20, _two(("cem_solves_per_sec", "cem_feasible_frac"),
+                   bench_cem_solves)),
+        # single-plant production step latency (runtime/serve regime)
+        ("serve", 90, 30, lambda: _RESULT.update(
+            {"serve_step_device_ms": round(_safe(bench_serve_step, nan), 3)})),
         # ONLINE-learning batched episodes (BASELINE config 3), lane backend
-        (150, _two(("batch_episode_steps_per_sec",
+        ("batch_episodes", 150, 35, _two(("batch_episode_steps_per_sec",
                     "batch_episode_feasible_frac"),
                    bench_batched_episodes)),
-        # sparse model (BASELINE cfg 4 scale) inside the batched cold solve
-        (120, _two(("sparse_solves_per_sec", "sparse_feasible_frac"),
-                   bench_sparse_solves)),
-        # constrained-CEM batched solves (sampling-based solver family;
-        # gp_impl="auto" dispatches the fused Pallas posterior kernel on TPU)
-        (120, _two(("cem_solves_per_sec", "cem_feasible_frac"),
-                   bench_cem_solves)),
-        # the same lane CEM solve with the XLA posterior chain — the
-        # dispatch-level A/B for the fused Pallas kernel
-        (120, _two(("cem_solves_per_sec_xla_gp",
+        # GP latency rows (device-side)
+        ("gp_latency", 90, 40,
+         _two(("gp_refit_chol_ms_n256", "gp_predict_jac_ms_n256"),
+              bench_gp_latency, digits=(3, 3))),
+        ("sparse_gp_latency", 90, 30,
+         _two(("sparse_gp_refit_ms_n10k_m256", "sparse_gp_predict_us_n10k"),
+              bench_large_gp, digits=(3, 2))),
+        # remaining layout A/Bs (vmapped portable paths, driver-visible)
+        ("batch_episodes_vmapped", 240, 35,
+         _two(("batch_episode_steps_per_sec_vmapped",
+               "batch_episode_feasible_frac_vmapped"),
+              lambda: bench_batched_episodes(backend="vmapped"))),
+        ("sparse_vmapped", 240, 35,
+         _two(("sparse_solves_per_sec_vmapped", "sparse_feasible_frac_vmapped"),
+              lambda: bench_sparse_solves(backend="vmapped"))),
+        ("cem_vmapped", 180, 25,
+         _two(("cem_solves_per_sec_vmapped", "cem_feasible_frac_vmapped"),
+              lambda: bench_cem_solves(backend="vmapped"))),
+        # the lane CEM solve with the XLA posterior chain — the
+        # dispatch-level A/B for the fused Pallas posterior kernel
+        ("cem_xla_gp", 120, 20, _two(("cem_solves_per_sec_xla_gp",
                     "cem_feasible_frac_xla_gp"),
                    lambda: bench_cem_solves(gp_impl="xla"))),
-        # op-level A/B of the fused posterior kernel at scorer scale
-        (90, lambda: _RESULT.update(_safe(bench_pallas_gp_predict, {}))),
-        # layout A/Bs: the vmapped portable paths behind the lane backend's
-        # 4.6-5.7x (driver-visible evidence)
-        (240, _two(("portable_solves_per_sec", "portable_feasible_frac"),
-                   lambda: bench_solves(b, it, nm, nd, ns,
-                                        backend="portable"))),
-        (240, _two(("batch_episode_steps_per_sec_vmapped",
-                    "batch_episode_feasible_frac_vmapped"),
-                   lambda: bench_batched_episodes(backend="vmapped"))),
-        (240, _two(("sparse_solves_per_sec_vmapped",
-                    "sparse_feasible_frac_vmapped"),
-                   lambda: bench_sparse_solves(backend="vmapped"))),
-        (180, _two(("cem_solves_per_sec_vmapped",
-                    "cem_feasible_frac_vmapped"),
-                   lambda: bench_cem_solves(backend="vmapped"))),
-        # single-plant production step latency (runtime/serve regime)
-        (90, lambda: _RESULT.update(
-            {"serve_step_device_ms": round(_safe(bench_serve_step, nan), 3)})),
-        # single-instance CEM latency — the cem_backend A/B
-        (120, _two(("cem_single_ms_lanes", "cem_single_ms_unused"),
-                   bench_cem_single, digits=(3, 3))),
-        (120, _two(("cem_single_ms_portable", "cem_single_ms_unused2"),
-                   lambda: bench_cem_single(backend="portable"),
-                   digits=(3, 3))),
-        # Pallas library-kernel A/Bs (NOT dispatched; kept driver-visible)
-        (120, _fill_pallas_chol),
-        (150, lambda: _RESULT.update(_safe(bench_pallas_gram_trsm, {}))),
-        (150, lambda: _RESULT.update(_safe(bench_pallas_chol_hbm, {}))),
-        # float-float fp64-equivalence evidence
-        (30, _fill_ff),
-        (60, lambda: _RESULT.update(
+        # float-float fp64-equivalence evidence (cheap)
+        ("ff_chol", 30, 10, _fill_ff),
+        ("ff_refit", 60, 15, lambda: _RESULT.update(
             {"ff_refit_ms_n128": round(_safe(bench_ff_refit, nan), 2)})),
+        # single-instance CEM latency — the cem_backend A/B
+        ("cem_single_lanes", 120, 20,
+         _two(("cem_single_ms_lanes", "cem_single_ms_unused"),
+              bench_cem_single, digits=(3, 3))),
+        ("cem_single_portable", 120, 20,
+         _two(("cem_single_ms_portable", "cem_single_ms_unused2"),
+              lambda: bench_cem_single(backend="portable"), digits=(3, 3))),
+        # op-level A/B of the fused posterior kernel at scorer scale
+        ("pallas_gp_predict", 90, 30,
+         lambda: _RESULT.update(_safe(bench_pallas_gp_predict, {}))),
+        # Pallas library-kernel A/Bs (NOT dispatched; kept driver-visible)
+        ("pallas_chol", 120, 30, _fill_pallas_chol),
+        ("pallas_gram_trsm", 150, 60,
+         lambda: _RESULT.update(_safe(bench_pallas_gram_trsm, {}))),
+        ("pallas_chol_hbm", 150, 60,
+         lambda: _RESULT.update(_safe(bench_pallas_chol_hbm, {}))),
     ]
 
-    for est, fill in plan:
-        if left() < est:
-            print(f"bench: skipping a sub-benchmark (est {est}s, "
+    # cache probe: the headline's first call is seconds on a primed cache,
+    # minutes cold — pick the estimate column accordingly
+    warm_cache = _LAST_COMPILE_S == _LAST_COMPILE_S and _LAST_COMPILE_S < 45.0
+    _RESULT["headline_compile_s"] = (
+        round(_LAST_COMPILE_S, 1) if _LAST_COMPILE_S == _LAST_COMPILE_S
+        else None
+    )
+    _RESULT["cache_state"] = "warm" if warm_cache else "cold"
+
+    def est_of(row):
+        return row[2] if warm_cache else row[1]
+
+    skipped = []
+    for row in plan:
+        name, fill = row[0], row[3]
+        if left() < est_of(row):
+            print(f"bench: deferring {name} (est {est_of(row)}s, "
+                  f"{left():.0f}s left)", file=sys.stderr)
+            skipped.append(row)
+            continue
+        t0 = time.perf_counter()
+        fill()
+        print(f"bench: {name} done in {time.perf_counter() - t0:.1f}s"
+              f" ({left():.0f}s left)", file=sys.stderr)
+
+    # second-chance pass (VERDICT r4 next #1c): after an overrun, still run
+    # the cheapest deferred rows inside the alarm grace — left() may be
+    # negative, but the alarm only fires at budget+150 and the handler still
+    # emits a parseable record, so eating up to ~120 s of grace is safe.
+    for row in sorted(skipped, key=est_of):
+        name, fill = row[0], row[3]
+        if left() - est_of(row) < -120.0:
+            print(f"bench: skipping {name} (est {est_of(row)}s, "
                   f"{left():.0f}s left)", file=sys.stderr)
             continue
         t0 = time.perf_counter()
         fill()
-        print(f"bench: sub-benchmark done in {time.perf_counter() - t0:.1f}s"
-              f" ({left():.0f}s left)", file=sys.stderr)
+        print(f"bench: {name} (second chance) done in "
+              f"{time.perf_counter() - t0:.1f}s ({left():.0f}s left)",
+              file=sys.stderr)
 
     _RESULT.pop("cem_single_ms_unused", None)
     _RESULT.pop("cem_single_ms_unused2", None)
