@@ -44,26 +44,38 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 
 
 def build_problem(env_name: str, n_safe: int, n_perf: int = 0,
-                  n_max: int = 32, n_data: int = 16):
+                  n_max: int = 32, n_data: int = 16, ssm_family: str = "gp",
+                  n_inducing: int = 64):
     """Deterministic f64 problem instance shared by both golden sources.
 
     The FROZEN INPUTS (training set, hyperparameters, probe points, x0,
     controls) are what make reference regeneration a drop-in: both sources
     evaluate their posterior/reachability on identical numbers.
+    ``ssm_family="sparse_gp"`` builds the BASELINE-cfg-4 inducing-point tier
+    (reference GPy ``SparseGPRegression``, SURVEY.md §2.3) on the same frozen
+    data.
     """
     from safe_exploration_tpu.envs import env_step
     from safe_exploration_tpu.models import make_gp_ssm
-    from safe_exploration_tpu.models.gp import gp_refit
     from safe_exploration_tpu.runtime.config import (
         ExperimentConfig,
         build_experiment,
     )
 
     dtype = jnp.float64
+    # c_safety: the sparse VFE variance floor is x0-independent, so the
+    # exact-GP 2.0 makes the sparse tube infeasible outright (see
+    # bench_sparse_solves); the 6D quadrotor runs 1.5 like its registered
+    # configs (recursive ellipsoid sums compound the closed loop's
+    # non-normal growth)
+    c_safety = {"sparse_gp": 1.8}.get(ssm_family, 2.0)
+    if env_name == "quadrotor":
+        c_safety = 1.5
     cfg = ExperimentConfig(
         name=f"golden_{env_name}", env=env_name, solver="sqp",
         n_safe=n_safe, n_perf=n_perf, n_max=n_max, sqp_outer=8, sqp_inner=4,
         kern_types=("rbf",),  # expands to one RBF per output dim
+        ssm=ssm_family, n_inducing=n_inducing, c_safety=c_safety,
     )
     exp = build_experiment(cfg, dtype=dtype)
     env, a, b = exp["env"], exp["a"], exp["b"]
@@ -77,19 +89,28 @@ def build_problem(env_name: str, n_safe: int, n_perf: int = 0,
     )
     _, x_next = jax.vmap(lambda x, u: env_step(env, key, x, u))(xs, us)
     resid = x_next - (xs @ a.T + us @ b.T)
-    ssm = make_gp_ssm(
-        exp["kern_types"], xs, us, resid, n_max=n_max,
-        l_mu=jnp.full((n_s,), 0.05, dtype),
-        l_sigma=jnp.full((n_s,), 0.02, dtype),
-        log_noise=-4.0,
-    )
+    l_mu = jnp.full((n_s,), 0.05, dtype)
+    l_sigma = jnp.full((n_s,), 0.02, dtype)
+    if ssm_family == "sparse_gp":
+        from safe_exploration_tpu.models.sparse_gp import make_sparse_gp_ssm
+
+        ssm = make_sparse_gp_ssm(
+            exp["kern_types"], xs, us, resid, n_max=n_max,
+            n_inducing=n_inducing, l_mu=l_mu, l_sigma=l_sigma,
+            log_noise=-4.0,
+        )
+    else:
+        ssm = make_gp_ssm(
+            exp["kern_types"], xs, us, resid, n_max=n_max,
+            l_mu=l_mu, l_sigma=l_sigma, log_noise=-4.0,
+        )
     # calibrate exactly as the production runners do: hyperopt + data-driven
     # Lipschitz constants. The frozen hyperparameters are part of the golden
     # instance (saved inputs), so a reference regeneration reuses them.
     from safe_exploration_tpu.models.ssm import estimate_lipschitz, ssm_fit
 
     ssm = ssm_fit(ssm, iters=120)
-    ssm = estimate_lipschitz(ssm, ssm.gp.x)
+    ssm = estimate_lipschitz(ssm, jnp.concatenate([xs, us], axis=1))
 
     probes = jax.random.uniform(
         jax.random.fold_in(key, 2), (16, n_s + n_u), dtype, -0.5, 0.5
@@ -105,19 +126,34 @@ def build_problem(env_name: str, n_safe: int, n_perf: int = 0,
     return exp, ssm, probes, x0, k_ff_eval
 
 
-def goldens_self(env_name: str, n_safe: int, n_perf: int = 0) -> dict:
+def golden_posterior(ssm, probes):
+    """Family-dispatching batched posterior on the frozen probes (exact GP and
+    the cfg-4 sparse VFE tier share the golden schema)."""
+    from safe_exploration_tpu.models.ssm import GPSSM
+
+    if isinstance(ssm, GPSSM):
+        from safe_exploration_tpu.models.gp import gp_predict_batch
+
+        return gp_predict_batch(ssm.gp, probes)
+    from safe_exploration_tpu.models.sparse_gp import sparse_gp_predict
+
+    mean, var = jax.vmap(lambda z: sparse_gp_predict(ssm.sgp, z))(probes)
+    return mean, var
+
+
+def goldens_self(env_name: str, n_safe: int, n_perf: int = 0,
+                 batch_block: bool = False, **bp_kw) -> dict:
     """Freeze our own f64 values (provisional oracle until the mount appears)."""
-    from safe_exploration_tpu.models.gp import gp_predict_batch
     from safe_exploration_tpu.reachability.onestep import multistep_reachability
     from safe_exploration_tpu.reachability.safety import (
         lin_ellipsoid_safety_distance,
     )
 
-    exp, ssm, probes, x0, _ = build_problem(env_name, n_safe, n_perf)
+    exp, ssm, probes, x0, _ = build_problem(env_name, n_safe, n_perf, **bp_kw)
     env, a, b, k_fb = exp["env"], exp["a"], exp["b"], exp["k_fb"]
     spec = env.spec
 
-    mean, var = gp_predict_batch(ssm.gp, probes)
+    mean, var = golden_posterior(ssm, probes)
 
     # solve the safety NLP on the frozen instance FIRST and freeze the tube at
     # the optimal controls: a feasible plan's tube is bounded by construction
@@ -154,9 +190,34 @@ def goldens_self(env_name: str, n_safe: int, n_perf: int = 0) -> dict:
         "an exploding tube is not a representable f32 parity target"
     )
 
+    out_extra = {}
+    if batch_block:
+        # cfg 3's distinctive component: the BATCHED (lane-major) solve. Four
+        # frozen x0s through build_experiment's batch_planner — in f64 the
+        # lane backend IS the oracle path (parity pinned in
+        # tests/test_sqp_lanes.py), so these goldens pin the lane solve
+        # against frozen numbers across refactors.
+        x0s = jnp.stack([
+            x0,
+            0.5 * x0,
+            -0.6 * x0,
+            jnp.asarray([0.02, -0.2] if x0.shape[0] == 2
+                        else [0.02] * x0.shape[0], jnp.float64),
+        ])
+        warm_b = jnp.zeros((4, n_warm, spec.n_u), jnp.float64)
+        kb, feas_b, viol_b, info_b = exp["batch_planner"](ssm, x0s, warm_b)
+        out_extra = {
+            "batch_x0s": np.asarray(x0s),
+            "batch_k_ff": np.asarray(kb),
+            "batch_feasible": np.asarray(feas_b),
+            "batch_violation": np.asarray(viol_b),
+            "batch_cost": np.asarray(info_b["cost"]),
+        }
+
     return {
         "source": np.bytes_(b"self_f64"),
         "probes": np.asarray(probes),
+        **out_extra,
         "posterior_mean": np.asarray(mean),
         "posterior_var": np.asarray(var),
         "x0": np.asarray(x0),
@@ -173,7 +234,8 @@ def goldens_self(env_name: str, n_safe: int, n_perf: int = 0) -> dict:
     }
 
 
-def goldens_reference(env_name: str, n_safe: int, n_perf: int = 0) -> dict:
+def goldens_reference(env_name: str, n_safe: int, n_perf: int = 0,
+                      batch_block: bool = False, **bp_kw) -> dict:
     """Evaluate the REFERENCE implementation on the same frozen inputs.
 
     Requires /root/reference (or an installed ``safe_exploration``) on the
@@ -199,23 +261,43 @@ def goldens_reference(env_name: str, n_safe: int, n_perf: int = 0) -> dict:
     )
 
 
+# The five BASELINE configs' golden instances — ONE table shared with
+# tests/test_goldens.py (imported there), so gate coverage and regeneration
+# can never drift apart. Fields: env, n_safe, n_perf, tag, then
+# build_problem/goldens kwargs.
+#   cfg 2: H=10 planning horizon = 5-step safety tube + 10-step performance
+#     trajectory (the reference pairs a SHORT ellipsoid tube with a LONG perf
+#     horizon because recursive ellipsoid over-approximations compound the
+#     closed loop's non-normal transient growth — cartpole sigma_max ~ 4.4).
+#   cfg 3: the batched tier — adds the lane-major batched solve over 4
+#     frozen x0s at the fleet configs' H=3.
+#   cfg 4: the sparse VFE tier (m=64 inducing on 256 frozen points — the
+#     same construction as pendulum_large_sparse, golden-sized).
+#   cfg 5: the 6D quadrotor at the registered 3-step tube + 5-step perf.
+CASES = [
+    ("pendulum", 5, 0, "cfg1_pendulum_h5", {}),
+    ("cartpole", 5, 10, "cfg2_cartpole_h10", {}),
+    ("pendulum", 3, 0, "cfg3_pendulum_batch_h3", {"batch_block": True}),
+    ("pendulum", 5, 0, "cfg4_pendulum_sparse",
+     {"ssm_family": "sparse_gp", "n_max": 512, "n_data": 256,
+      "n_inducing": 64}),
+    ("quadrotor", 3, 5, "cfg5_quadrotor_h3p5", {"n_data": 32}),
+]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", choices=["self", "reference"], default="self")
+    ap.add_argument("--only", default=None,
+                    help="regenerate a single tag (substring match)")
     args = ap.parse_args()
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     gen = goldens_self if args.source == "self" else goldens_reference
-    # cfg 2: H=10 planning horizon = 5-step safety tube + 10-step
-    # performance trajectory (the reference pairs a SHORT ellipsoid tube with
-    # a LONG perf horizon because recursive ellipsoid over-approximations
-    # compound the closed loop's non-normal transient growth — cartpole's
-    # sigma_max(A_cl) ~ 4.4 despite rho = 0.9)
-    for env_name, n_safe, n_perf, tag in [
-        ("pendulum", 5, 0, "cfg1_pendulum_h5"),
-        ("cartpole", 5, 10, "cfg2_cartpole_h10"),
-    ]:
-        data = gen(env_name, n_safe, n_perf)
+    for env_name, n_safe, n_perf, tag, kw in CASES:
+        if args.only and args.only not in tag:
+            continue
+        data = gen(env_name, n_safe, n_perf, **kw)
         path = os.path.join(GOLDEN_DIR, f"{tag}.npz")
         np.savez_compressed(path, **data)
         print(f"wrote {path} (source={args.source})")
