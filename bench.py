@@ -684,6 +684,74 @@ def bench_pallas_gp_predict(n_data: int = 64, n_lanes: int = 16384):
     return {k: round(v * 1e3, 1) for k, v in zip(keys_out, vals)}
 
 
+def bench_cem_score_fused(n_data: int = 48, m_samples: int = 64,
+                          batch: int = 256, t_len: int = 5):
+    """Device-side A/B of the WHOLE-ROLLOUT fused Pallas CEM scorer
+    (ops/pallas/cem_score — tube + margins + cost in ONE launch) vs the lane
+    XLA chain it fuses, at CEM-iteration scale (M*B lanes). This is the
+    'structural fusion XLA cannot express' experiment (VERDICT r4 next #5):
+    the per-op fused GP kernel lost its A/B; this tests fusion of the whole
+    evaluation. The dispatch-level counterpart is cem_solves_per_sec_fused."""
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+    from safe_exploration_tpu.ops.pallas import on_tpu
+    from safe_exploration_tpu.ops.pallas.cem_score import (
+        tube_score_lanes_pallas,
+    )
+    from safe_exploration_tpu.solvers.cem_lanes import _TubeCfg
+    from safe_exploration_tpu.solvers.sqp_lanes import (
+        _cost_lanes,
+        _dist_lanes,
+        _rollout_y_lanes,
+    )
+
+    tag = f"l{m_samples * batch // 1024}k"
+    keys_out = (f"cem_score_fused_us_{tag}", f"cem_score_xla_us_{tag}")
+    if not on_tpu():
+        return {k: float("nan") for k in keys_out}
+    dtype = jnp.float32
+    _, ssm, x0s, _ = build(batch, 128, n_data, t_len, dtype)
+    ssm = ssm_bucketed(ssm)
+    from safe_exploration_tpu.envs import linearize_discretize, make_pendulum
+    from safe_exploration_tpu.ops.linalg import dlqr
+
+    env = make_pendulum(dtype=dtype)
+    spec = env.spec
+    a, b = linearize_discretize(env)
+    k_lqr, _ = dlqr(a, b, jnp.eye(2, dtype=dtype), jnp.eye(1, dtype=dtype))
+    k_fb = -k_lqr
+    s_lift = jnp.concatenate([jnp.eye(2, dtype=dtype), k_fb], axis=0)
+    bmat = s_lift.T @ s_lift
+    n_var = t_len
+    L = m_samples * batch
+    x0_wide = jnp.broadcast_to(
+        x0s.T[:, None, :], (2, m_samples, batch)
+    ).reshape(2, L)
+    u0 = 0.3 * jax.random.normal(jax.random.PRNGKey(9), (n_var, L), dtype)
+    cost_args = {"target": spec.target}
+    tube_cfg = _TubeCfg(n_safe=t_len, c_safety=2.0, n_perf=0)
+    x0_rows = [x0_wide[i] for i in range(2)]
+
+    def fused(c):
+        cost, viol = tube_score_lanes_pallas(
+            ssm, u0 + c, x0_wide, k_fb, a, b, bmat,
+            spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+            2.0, t_len, "tracking", cost_args,
+        )
+        return (cost + 100.0 * viol)[None, :]
+
+    def xla(c):
+        y = _rollout_y_lanes(ssm, u0 + c, x0_rows, k_fb, a, b, tube_cfg,
+                             bmat, 0, 1)
+        g = _dist_lanes(y, t_len, 2, spec.h_mat_obs, spec.h_obs,
+                        spec.h_mat_safe, spec.h_safe)
+        viol = jnp.sum(jnp.maximum(g, 0.0), axis=0)
+        cost = _cost_lanes("tracking", cost_args, y, u0 + c, t_len, 2, 1)
+        return (cost + 100.0 * viol)[None, :]
+
+    vals = (_device_ms(fused), _device_ms(xla))
+    return {k: round(v * 1e3, 1) for k, v in zip(keys_out, vals)}
+
+
 def bench_pallas_chol(n: int = 512):
     """VMEM-tier blocked Pallas Cholesky vs XLA, device-side (NOT dispatched —
     XLA wins 3-5x at f32-accurate precision; reported for transparency)."""
@@ -963,6 +1031,13 @@ def main():
         ("cem_single_portable", 120, 20,
          _two(("cem_single_ms_portable", "cem_single_ms_unused2"),
               lambda: bench_cem_single(backend="portable"), digits=(3, 3))),
+        # the STRUCTURAL-FUSION experiment: whole-rollout fused Pallas CEM
+        # scorer vs the XLA chain — op-level and dispatch-level
+        ("cem_score_fused", 120, 40,
+         lambda: _RESULT.update(_safe(bench_cem_score_fused, {}))),
+        ("cem_fused_dispatch", 120, 25,
+         _two(("cem_solves_per_sec_fused", "cem_feasible_frac_fused"),
+              lambda: bench_cem_solves(gp_impl="fused"))),
         # op-level A/B of the fused posterior kernel at scorer scale
         ("pallas_gp_predict", 90, 30,
          lambda: _RESULT.update(_safe(bench_pallas_gp_predict, {}))),

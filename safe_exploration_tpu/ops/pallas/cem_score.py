@@ -1,0 +1,357 @@
+"""Fused whole-rollout CEM tube scorer — one Pallas launch per evaluation.
+
+THE STRUCTURAL-FUSION EXPERIMENT (VERDICT r4 next #5). The honest-dispatch
+policy note (models/gp.py) claims the place Pallas could still pay is
+"structural fusion XLA cannot express: the solver-side fused rollout". The
+per-OP fused GP posterior kernel (ops/pallas/gp_predict.py) already LOST its
+A/B at scorer scale (42.6 vs 34.8 us — XLA fuses the chain well); this
+kernel tests the claim at its strongest: the ENTIRE constrained-CEM score —
+an n_safe-stage ellipsoid tube rollout (GP posterior + mean Jacobians +
+closed-loop map + Lipschitz remainders + Minkowski sums), every stage/
+terminal polytope margin, and the stage cost — computed for a block of
+sample lanes with every intermediate VMEM-resident, one kernel launch
+instead of XLA's ~40 per CEM iteration.
+
+Scope (the headline CEM tier): n_s == 2 (closed-form lane eigenvalue),
+all-RBF kernel menu, shared exact-GP or inducing-point posterior, n_perf ==
+0, tracking/exploration costs. FORWARD-ONLY — the CEM scoring path needs no
+AD. Parity with the XLA scorer chain (sqp_lanes._rollout_y_lanes +
+_dist_lanes + _cost_lanes) is pinned in tests/test_pallas_cem_score.py;
+the device-side A/B lives in bench.py (cem score fused-vs-XLA rows). The
+kernel is dispatched only if that A/B says it wins (cem_gp_impl="fused").
+
+Parity: the reference's CEM scorer is the torch batched rollout
+(``safempc_cem.py`` + ``gp_reachability_pytorch.onestep_reachability``,
+SURVEY.md §2.6/§3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["tube_score_lanes_pallas", "cem_score_supported"]
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _kernel(x_ref, xt_ref, wm_ref, wmt_ref, wv_ref, ils_ref, ils2_ref,
+            sf2_ref, flr_ref, noise_ref, a_ref, b_ref, kfb_ref, bmat_ref,
+            lmu_ref, lsig_ref, hom_ref, hov_ref, hsm_ref, hsv_ref, tgt_ref,
+            u_ref, x0_ref, cost_ref, viol_ref,
+            *, n_out: int, d_in: int, n_s: int, n_u: int, t_len: int,
+            c_safety: float, cost_kind: str, w_x: float, w_u: float,
+            w_t: float, expl_scale: float, n_obs: int, n_safe_rows: int):
+    """One lane block: the whole score, unrolled over (static, small) dims."""
+
+    def gp_pred(z_rows, want_jac):
+        """In-kernel RBF posterior at lane rows z_rows (list of d (1,Lb))."""
+        mus, vars_, jacs = [], [], []
+        for e in range(n_out):
+            d2 = None
+            for j in range(d_in):
+                il = ils_ref[e, j]
+                diff = x_ref[:, j:j + 1] * il - z_rows[j] * il   # (n, Lb)
+                sq = diff * diff
+                d2 = sq if d2 is None else d2 + sq
+            kv = sf2_ref[e, 0] * jnp.exp(-0.5 * d2)              # (n, Lb)
+            w = jax.lax.dot_general(
+                wv_ref[e], kv, (((1,), (0,)), ((), ())),
+                precision=_HIGH, preferred_element_type=jnp.float32,
+            )
+            mu = jax.lax.dot_general(
+                wm_ref[e:e + 1, :], kv, (((1,), (0,)), ((), ())),
+                precision=_HIGH, preferred_element_type=jnp.float32,
+            )                                                    # (1, Lb)
+            quad = jnp.sum(kv * w, axis=0, keepdims=True)
+            var = jnp.maximum(sf2_ref[e, 0] - quad, flr_ref[e, 0])
+            mus.append(mu)
+            vars_.append(var)
+            if want_jac:
+                wj = kv * wmt_ref[:, e:e + 1]
+                rows = jax.lax.dot_general(
+                    xt_ref[:], wj, (((1,), (0,)), ((), ())),
+                    precision=_HIGH, preferred_element_type=jnp.float32,
+                )                                                # (d, Lb)
+                swj = jnp.sum(wj, axis=0, keepdims=True)
+                jacs.append([
+                    (rows[j:j + 1, :] - z_rows[j] * swj) * ils2_ref[e, j]
+                    for j in range(d_in)
+                ])
+        return mus, vars_, jacs
+
+    def margins_into(p, q, hm_ref, hv_ref, n_rows, viol):
+        """viol += sum_i max(h_i.p + sqrt(h_i Q h_i) - hv_i, 0)."""
+        for i in range(n_rows):
+            sup = None
+            lin = None
+            for j in range(n_s):
+                lj = hm_ref[i, j] * p[j]
+                lin = lj if lin is None else lin + lj
+                for k in range(n_s):
+                    s = hm_ref[i, j] * q[j][k] * hm_ref[i, k]
+                    sup = s if sup is None else sup + s
+            g = lin + jnp.sqrt(jnp.maximum(sup, 0.0)) - hv_ref[i, 0]
+            viol = viol + jnp.maximum(g, 0.0)
+        return viol
+
+    def kff_at(t):
+        return [u_ref[t * n_u + i:t * n_u + i + 1, :] for i in range(n_u)]
+
+    x0 = [x0_ref[i:i + 1, :] for i in range(n_s)]
+    zero = jnp.zeros_like(x0[0])
+    cost_stage = zero
+    cost_expl = zero
+    viol = zero
+
+    # ---- stage 0: point step --------------------------------------------
+    kff = kff_at(0)
+    mu, var, _ = gp_pred(x0 + kff, want_jac=False)
+    p = [
+        sum(a_ref[i, j] * x0[j] for j in range(n_s))
+        + sum(b_ref[i, k] * kff[k] for k in range(n_u))
+        + mu[i]
+        for i in range(n_s)
+    ]
+    hw0 = [c_safety * jnp.sqrt(var[i] + noise_ref[i, 0]) for i in range(n_s)]
+    q = [[n_s * hw0[i] * hw0[i] if i == j else zero for j in range(n_s)]
+         for i in range(n_s)]
+    for i in range(n_s):
+        cost_expl = cost_expl + jnp.sqrt(var[i])
+    viol = margins_into(p, q, hom_ref, hov_ref, n_obs, viol)
+    if t_len > 1:
+        dx = [p[i] - tgt_ref[i, 0] for i in range(n_s)]
+        cost_stage = cost_stage + sum(d * d for d in dx)
+
+    # ---- stages 1..T-1: closed-loop ellipsoid steps ---------------------
+    for t in range(1, t_len):
+        kff = kff_at(t)
+        mu, var, jac = gp_pred(p + kff, want_jac=True)
+        p_next = [
+            sum(a_ref[i, j] * p[j] for j in range(n_s))
+            + sum(b_ref[i, k] * kff[k] for k in range(n_u))
+            + mu[i]
+            for i in range(n_s)
+        ]
+        # H = a + J_x + (b + J_u) k_fb
+        h = [[
+            a_ref[i, j] + jac[i][j]
+            + sum((b_ref[i, k] + jac[i][n_s + k]) * kfb_ref[k, j]
+                  for k in range(n_u))
+            for j in range(n_s)] for i in range(n_s)]
+        # q_lin = H Q H^T
+        hq = [[sum(h[i][l] * q[l][j] for l in range(n_s))
+               for j in range(n_s)] for i in range(n_s)]
+        q_lin = [[sum(hq[i][l] * h[j][l] for l in range(n_s))
+                  for j in range(n_s)] for i in range(n_s)]
+        # Lipschitz remainder: r^2 = lambda_max(Q B), closed form at n_s=2
+        qb = [[sum(q[i][l] * bmat_ref[l, j] for l in range(n_s))
+               for j in range(n_s)] for i in range(n_s)]
+        tr = qb[0][0] + qb[1][1]
+        det = qb[0][0] * qb[1][1] - qb[0][1] * qb[1][0]
+        disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+        r_sqr = jnp.maximum(0.5 * (tr + disc), 0.0)
+        r = jnp.sqrt(r_sqr)
+        # u_mu box -> q_taylor; confidence box -> q_conf
+        eps = 1e-30
+        q_taylor, q_conf = [], []
+        for i in range(n_s):
+            hw_t = 0.5 * lmu_ref[i, 0] * r_sqr
+            hw_c = c_safety * (
+                jnp.sqrt(var[i] + noise_ref[i, 0]) + lsig_ref[i, 0] * r
+            )
+            q_taylor.append(hw_t)
+            q_conf.append(hw_c)
+
+        def diag_sum(q1, hw):
+            """sum_two_ellipsoids with diagonal q2 = diag(n_s * hw_i^2)."""
+            t1 = q1[0][0] + q1[1][1] + eps
+            t2 = sum(n_s * hw[i] * hw[i] for i in range(n_s)) + eps
+            c = jnp.sqrt(t1 / t2)
+            out = [[(1.0 + 1.0 / c) * q1[i][j] for j in range(n_s)]
+                   for i in range(n_s)]
+            for i in range(n_s):
+                out[i][i] = out[i][i] + (1.0 + c) * n_s * hw[i] * hw[i]
+            return out
+
+        q = diag_sum(diag_sum(q_lin, q_conf), q_taylor)
+        p = p_next
+        for i in range(n_s):
+            cost_expl = cost_expl + jnp.sqrt(var[i])
+        viol = margins_into(p, q, hom_ref, hov_ref, n_obs, viol)
+        if t < t_len - 1:
+            dx = [p[i] - tgt_ref[i, 0] for i in range(n_s)]
+            cost_stage = cost_stage + sum(d * d for d in dx)
+
+    # terminal margin + cost
+    viol = margins_into(p, q, hsm_ref, hsv_ref, n_safe_rows, viol)
+    if cost_kind == "tracking":
+        ctrl = zero
+        for t in range(t_len):
+            for k in range(n_u):
+                uu = u_ref[t * n_u + k:t * n_u + k + 1, :]
+                ctrl = ctrl + uu * uu
+        dxT = [p[i] - tgt_ref[i, 0] for i in range(n_s)]
+        term = sum(d * d for d in dxT)
+        cost = w_x * cost_stage + w_u * ctrl + w_t * term
+    else:                                                   # exploration
+        cost = -expl_scale * cost_expl
+    cost_ref[:, :] = cost
+    viol_ref[:, :] = viol
+
+
+def cem_score_supported(ssm, n_s: int, cost_kind: str, n_perf: int) -> bool:
+    """Whether the fused scorer covers this configuration (see module doc)."""
+    from safe_exploration_tpu.solvers.sqp_lanes import gp_pallas_supported
+
+    return (
+        gp_pallas_supported(ssm)
+        and n_s == 2
+        and n_perf == 0
+        and cost_kind in ("tracking", "exploration")
+    )
+
+
+def tube_score_lanes_pallas(
+    ssm,
+    u_flat: jax.Array,       # (n_var, L) control lanes
+    x0_cols: jax.Array,      # (n_s, L) initial-state lanes
+    k_fb: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    bmat: jax.Array,         # S^T S of the Lipschitz lift
+    h_mat_obs: jax.Array,
+    h_obs: jax.Array,
+    h_mat_safe: jax.Array,
+    h_safe: jax.Array,
+    c_safety: float,
+    t_len: int,
+    cost_kind: str,
+    cost_args: dict,
+    *,
+    block_l: int = 512,
+    interpret: bool = False,
+):
+    """Fused CEM score over L lanes: returns (cost (L,), viol (L,)).
+
+    Must match the XLA scorer chain ``_rollout_y_lanes`` + ``_dist_lanes`` +
+    ``_cost_lanes`` (f32, pinned in tests/test_pallas_cem_score.py). The GP
+    runs in RAW input coordinates: z_scale is folded into the lengthscales
+    and the support rows, so in-kernel Jacobians need no chain rule.
+    """
+    from safe_exploration_tpu.models.sparse_gp import SparseGPSSM
+    from safe_exploration_tpu.solvers.sqp_lanes import _gp_of
+
+    gp = _gp_of(ssm)
+    sparse = isinstance(ssm, SparseGPSSM)
+    xr = gp.z if sparse else gp.x
+    w_mean = gp.alpha if sparse else gp.beta
+    w_var = gp.vmat if sparse else gp.kinv
+    if not sparse:
+        w_mean = w_mean * gp.mask[None, :]
+        w_var = w_var * (gp.mask[None, :, None] * gp.mask[None, None, :])
+    dtype = jnp.float32
+    n, d_in = xr.shape
+    e = w_mean.shape[0]
+    n_s = x0_cols.shape[0]
+    n_u = k_fb.shape[0]
+    L = x0_cols.shape[1]
+
+    log_ls = jnp.stack([p["log_lengthscales"] for p in gp.params])
+    log_sf = jnp.stack([jnp.asarray(p["log_sf"]) for p in gp.params])
+    inv_ls = jnp.exp(-log_ls).astype(dtype)                  # (e, d) scaled
+    if ssm.z_scale is not None:
+        # raw-coordinate formulation: ls_raw = ls * z_scale, x_raw = x * z_sc
+        inv_ls = inv_ls / ssm.z_scale[None, :].astype(dtype)
+        xr = xr * ssm.z_scale[None, :]
+    inv_ls2 = (inv_ls * inv_ls).astype(dtype)
+    sf2 = jnp.exp(2.0 * log_sf).astype(dtype)[:, None]
+    eps32 = jnp.finfo(dtype).eps
+    floor = jnp.maximum(8.0 * eps32 * sf2, 1e-12)
+    noise = jnp.exp(2.0 * gp.log_noise).astype(dtype)[:, None]
+
+    xr = xr.astype(dtype)
+    l_pad = -(-L // block_l) * block_l
+    u_flat = u_flat.astype(dtype)
+    x0_cols = x0_cols.astype(dtype)
+    if l_pad != L:
+        u_flat = jnp.pad(u_flat, ((0, 0), (0, l_pad - L)))
+        x0_cols = jnp.pad(x0_cols, ((0, 0), (0, l_pad - L)))
+    grid = (l_pad // block_l,)
+    n_var = u_flat.shape[0]
+    n_obs = h_obs.shape[0]
+    n_safe_rows = h_safe.shape[0]
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        const((n, d_in)), const((d_in, n)),
+        const((e, n)), const((n, e)), const((e, n, n)),
+        const((e, d_in)), const((e, d_in)), const((e, 1)), const((e, 1)),
+        const((e, 1)),
+        const((n_s, n_s)), const((n_s, n_u)), const((n_u, n_s)),
+        const((n_s, n_s)),
+        const((n_s, 1)), const((n_s, 1)),
+        const((n_obs, n_s)), const((n_obs, 1)),
+        const((n_safe_rows, n_s)), const((n_safe_rows, 1)),
+        const((n_s, 1)),
+        pl.BlockSpec((n_var, block_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_s, block_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, l_pad), dtype),
+        jax.ShapeDtypeStruct((1, l_pad), dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_l), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    kern = functools.partial(
+        _kernel, n_out=e, d_in=d_in, n_s=n_s, n_u=n_u, t_len=t_len,
+        c_safety=float(c_safety), cost_kind=cost_kind,
+        w_x=float(cost_args.get("w_x", 1.0)),
+        w_u=float(cost_args.get("w_u", 0.1)),
+        w_t=float(cost_args.get("w_terminal", 5.0)),
+        expl_scale=float(cost_args.get("scale", 1.0)),
+        n_obs=n_obs, n_safe_rows=n_safe_rows,
+    )
+    # per-stage GP work dominates: 2 matmuls (n x n x Lb) per output dim
+    flops = 2 * n * n * l_pad * e * t_len * 2
+    target = (
+        cost_args["target"] if cost_kind == "tracking"
+        else jnp.zeros((n_s,), dtype)
+    )
+    cost, viol = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=int(4 * (n_var + n_s + 2) * l_pad),
+            transcendentals=int(n * l_pad * e * t_len),
+        ),
+    )(
+        xr, xr.T, w_mean.astype(dtype), w_mean.T.astype(dtype),
+        w_var.astype(dtype), inv_ls, inv_ls2, sf2, floor, noise,
+        a.astype(dtype), b.astype(dtype), k_fb.astype(dtype),
+        bmat.astype(dtype),
+        ssm.l_mu.astype(dtype)[:, None], ssm.l_sigma.astype(dtype)[:, None],
+        h_mat_obs.astype(dtype), h_obs.astype(dtype)[:, None],
+        h_mat_safe.astype(dtype), h_safe.astype(dtype)[:, None],
+        jnp.asarray(target, dtype)[:, None],
+        u_flat, x0_cols,
+    )
+    return cost[0, :L], viol[0, :L]

@@ -112,7 +112,10 @@ class ExperimentConfig:
     # GP posterior impl for the lane CEM scorer: "auto" (= XLA — the fused
     # Pallas posterior kernel measures slower than XLA's fused chain on v5e,
     # bench.py cem_solves_per_sec A/B, so it stays undispatched library
-    # code) | "xla" | "pallas" (force, TPU only) — solvers/cem.CemConfig
+    # code) | "xla" | "pallas" (force, TPU only) | "fused" (the whole-
+    # rollout Pallas scorer, ops/pallas/cem_score — tube + margins + cost in
+    # one launch on the hot sampling path; A/B rows in bench.py decide
+    # whether "auto" ever routes here) — solvers/cem.CemConfig
     cem_gp_impl: str = "auto"
 
     # SQP knobs

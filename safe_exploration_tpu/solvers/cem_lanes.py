@@ -129,7 +129,24 @@ def cem_plan_lanes(
     # the kernel stays library code (same honest-dispatch policy as
     # ops/pallas/{gram,cholesky,trsm}); "pallas" forces it where supported.
     impl = cfg.gp_impl
-    if impl == "auto":
+    # "fused": the whole-rollout Pallas scorer (ops/pallas/cem_score — tube +
+    # margins + cost in ONE kernel launch per evaluation) on the HOT wide
+    # scoring path; the final y-producing pass stays XLA. Falls back outside
+    # the supported envelope (n_s==2, all-RBF, n_perf==0, stock costs, f32,
+    # TPU). "auto" resolves per the measured A/B in bench.py
+    # (cem_score_*_us + cem_solves_per_sec_fused rows).
+    use_fused = False
+    if impl == "fused":
+        from safe_exploration_tpu.ops.pallas.cem_score import (
+            cem_score_supported,
+        )
+
+        use_fused = (
+            cem_score_supported(ssm, n_s, cost_kind, cfg.n_perf)
+            and dtype == jnp.float32 and jax.default_backend() == "tpu"
+        )
+        impl = "xla"
+    if impl in ("auto", "fused"):
         impl = "xla"
     elif impl == "pallas" and not (
         gp_pallas_supported(ssm) and dtype == jnp.float32
@@ -160,6 +177,22 @@ def cem_plan_lanes(
     score_wide = make_score(x0_wide)
     score_b = make_score(x0s.T)
 
+    if use_fused:
+        from safe_exploration_tpu.ops.pallas.cem_score import (
+            tube_score_lanes_pallas,
+        )
+
+        def scores_wide(u_wide):
+            c, v = tube_score_lanes_pallas(
+                ssm, u_wide, x0_wide, k_fb, a, b, bmat,
+                h_mat_obs, h_obs, h_mat_safe, h_safe,
+                c_safety, t_len, cost_kind, cost_args,
+            )
+            return c + cfg.penalty * v
+    else:
+        def scores_wide(u_wide):
+            return score_wide(u_wide)[0]
+
     mean0 = (
         jnp.zeros((n_var, bsz), dtype) if warm is None
         else jnp.moveaxis(warm.reshape(bsz, n_var), 0, -1)
@@ -174,10 +207,9 @@ def cem_plan_lanes(
         samples = jnp.clip(mean[None] + std[None] * eps, lo[None], hi[None])
         # always include the distribution mean itself (elite retention)
         samples = samples.at[0].set(jnp.clip(mean, lo, hi))
-        scores, _, _, _ = score_wide(
+        scores = scores_wide(
             jnp.moveaxis(samples, 0, 1).reshape(n_var, m * bsz)
-        )
-        scores = scores.reshape(m, bsz)
+        ).reshape(m, bsz)
         # per-lane elites over the sample axis (M is small: one argsort)
         elite_idx = jnp.argsort(scores, axis=0)[: cfg.n_elites]  # (k, B)
         elites = jnp.take_along_axis(
