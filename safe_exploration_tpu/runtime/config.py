@@ -209,8 +209,10 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
     elif cfg.objective == "risk_tracking":
         # variance-priced tracking — the objective that consumes the
         # propagated performance covariance, making perf_trajectory="taylor"
-        # vs "mean_equivalent" observable (VERDICT r4 missing #3). Not in the
-        # lane cost whitelist: batched solves fall back to the vmapped path.
+        # vs "mean_equivalent" observable (VERDICT r4 missing #3). The lane
+        # backends carry it natively (sqp_lanes._rollout_perf_lanes
+        # want_sigma=True runs the lane Σ recursion; parity pinned in
+        # tests/test_perf_trajectory_sqp.py).
         cost_fn = risk_tracking_cost(spec.target, w_sigma=cfg.w_sigma)
     else:
         raise ValueError(f"unknown objective {cfg.objective}")
@@ -277,7 +279,9 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         )
 
         cem_cost_args = (
-            {"target": spec.target} if cfg.objective == "tracking" else {}
+            {"target": spec.target} if cfg.objective == "tracking"
+            else {"target": spec.target, "w_sigma": cfg.w_sigma}
+            if cfg.objective == "risk_tracking" else {}
         )
         cem_lane_solver = make_cem_lane_solver(
             env, k_fb, a, b, cfg.c_safety, cfg.objective, cem_cost_args,
@@ -340,7 +344,9 @@ def build_experiment(cfg: ExperimentConfig, dtype=jnp.float32) -> dict:
         )
 
         cost_args = (
-            {"target": spec.target} if cfg.objective == "tracking" else {}
+            {"target": spec.target} if cfg.objective == "tracking"
+            else {"target": spec.target, "w_sigma": cfg.w_sigma}
+            if cfg.objective == "risk_tracking" else {}
         )
         lane_solver = make_sqp_lane_solver(
             env, k_fb, a, b, cfg.objective, cost_args, sqp_cfg
@@ -562,7 +568,7 @@ register_config(
 # config 2 with the RISK-SENSITIVE objective: the performance trajectory's
 # Taylor covariance recursion priced into the plan (solvers/costs.
 # risk_tracking_cost — "taylor" vs "mean_equivalent" genuinely differ here;
-# batched solves fall back to the vmapped path, see _LANE_COSTS)
+# batched solves ride the lane backend's Σ recursion, see _LANE_COSTS)
 register_config(
     ExperimentConfig(
         name="cartpole_risk_sqp", env="cartpole", kern_types=("rbf",),

@@ -13,7 +13,8 @@ The iteration machinery (per-lane elites via ``take_along_axis`` over the
 sample axis, smoothed refits, best-ever archive) stays (n_var, B).
 
 Covers the same configuration envelope as the lane SQP's model side: GP-SSM
-over the full kernel menu, f32 factors, stock tracking/exploration costs,
+over the full kernel menu, f32 factors, the stock cost menu (tracking /
+exploration / Σ-consuming risk_tracking via the lane covariance recursion),
 optional joint performance trajectory. Falls back to vmapping the portable
 ``cem_plan`` otherwise (runtime/config.build_experiment owns the dispatch).
 
@@ -43,6 +44,7 @@ from safe_exploration_tpu.solvers.sqp_lanes import (
     _dist_lanes,
     _gp_of,
     _rollout_y_lanes,
+    _wants_sigma,
     gp_pallas_supported,
 )
 
@@ -55,6 +57,7 @@ class _TubeCfg(NamedTuple):
     n_safe: int
     c_safety: float
     n_perf: int
+    perf_method: str = "taylor"
 
 
 def cem_lanes_supported(ssm, cost_kind: str) -> bool:
@@ -68,9 +71,9 @@ def cem_lanes_supported(ssm, cost_kind: str) -> bool:
     return (
         all(kt in _KERNEL_PARTS for kt in gp.kern_types)
         and getattr(gp, "precision", "f32") == "f32"
-        # Σ-free costs only (sqp_lanes._LANE_COSTS): the lane perf rollout
-        # skips the covariance recursion, so Σ-consuming costs (e.g.
-        # "risk_tracking") fall back to the vmapped portable planner
+        # the _LANE_COSTS whitelist (sqp_lanes): tracking/exploration are
+        # Σ-free; risk_tracking runs the lane Σ recursion on the perf
+        # rollout (want_sigma) — all three are covered here
         and cost_kind in _LANE_COSTS
     )
 
@@ -121,7 +124,9 @@ def cem_plan_lanes(
 
     s_lift = jnp.concatenate([jnp.eye(n_s, dtype=dtype), k_fb], axis=0)
     bmat = s_lift.T @ s_lift
-    tube_cfg = _TubeCfg(n_safe=t_len, c_safety=c_safety, n_perf=cfg.n_perf)
+    tube_cfg = _TubeCfg(n_safe=t_len, c_safety=c_safety, n_perf=cfg.n_perf,
+                        perf_method=cfg.perf_method)
+    want_sigma = _wants_sigma(cost_kind, cfg.n_perf)
     # scoring is forward-only (no AD through the tube), so the fused Pallas
     # posterior kernel is ELIGIBLE here — but the measured A/B says XLA's
     # fused chain wins at scorer scale on v5e (bench.py cem_solves_per_sec
@@ -160,7 +165,8 @@ def cem_plan_lanes(
 
         def score(u_flat):
             y = _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b,
-                                 tube_cfg, bmat, r, n_u, impl=impl)
+                                 tube_cfg, bmat, r, n_u, impl=impl,
+                                 want_sigma=want_sigma)
             g = _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs,
                             h_mat_safe, h_safe)
             viol = jnp.sum(jnp.maximum(g, 0.0), axis=0)

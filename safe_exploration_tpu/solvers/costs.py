@@ -57,11 +57,11 @@ def risk_tracking_cost(
     the same functional reads the SAFETY tube's ellipsoid shapes q_traj —
     trace(Q_t) prices tube growth directly.
 
-    NOTE for the lane backends: this cost reads Sigma, which the lane-major
-    perf rollout deliberately does not propagate (solvers/sqp_lanes.
-    _rollout_perf_lanes) — ``risk_tracking`` is therefore NOT in the lane
-    cost whitelist (``sqp_lanes._LANE_COSTS``) and batched solves fall back
-    to the vmapped portable path honestly.
+    The lane backends carry this cost natively: ``sqp_lanes.
+    _rollout_perf_lanes(want_sigma=True)`` runs the lane-major form of the
+    same Σ recursion (f64 parity with the portable solve pinned in
+    tests/test_perf_trajectory_sqp.py), so batched risk-sensitive solves ride
+    the lane SQP/CEM like the Σ-free costs do.
     """
 
     def cost_fn(p_traj, q_traj, var_traj, k_ff_all):

@@ -498,7 +498,7 @@ def _rollout_lanes_array(ssm, u_flat, x0, k_fb, a, b, cfg, bmat,
 
 
 def _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat, r, n_u,
-                     impl="xla"):
+                     impl="xla", want_sigma=False):
     """Packed tube(+perf) rollout, choosing the rollout form by state
     dimension (see _rollout_lanes_array docstring for the trace-size
     rationale)."""
@@ -506,7 +506,7 @@ def _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat, r, n_u,
     n_s = a.shape[0]
     perf = (
         _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, cfg, r, n_u, t_len,
-                            impl=impl)
+                            impl=impl, want_sigma=want_sigma)
         if cfg.n_perf > 0 else None
     )
     if n_s <= 2:
@@ -524,17 +524,23 @@ def _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg, bmat, r, n_u,
 
 
 def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len,
-                        impl="xla"):
+                        impl="xla", want_sigma=False):
     """Performance-trajectory stages, lane-major.
 
-    Mirrors reachability/propagation.multi_step_propagation under the lane
-    backend's cost contract: the supported objectives (tracking/exploration,
-    _cost_lanes) read only the stage means and GP variances — the input-
-    covariance recursion that distinguishes ``taylor`` from
-    ``mean_equivalent`` feeds NEITHER (sigma never re-enters the mean or the
-    var, and the stock costs ignore it, exactly as in the portable
-    cost_small), so it is skipped here: both methods produce identical
-    results for these costs, and that identity is what the parity test pins.
+    Mirrors reachability/propagation.multi_step_propagation (reference
+    ``uncertainty_propagation_casadi.py``, SURVEY.md §2.4). The Σ-free stock
+    objectives (tracking/exploration, _cost_lanes) read only the stage means
+    and GP variances — for them the input-covariance recursion is skipped
+    (``want_sigma=False``): ``taylor`` and ``mean_equivalent`` are provably
+    identical there, and that identity is what the parity test pins. A
+    Σ-consuming cost (risk_tracking) sets ``want_sigma=True``, which runs the
+    lane form of the portable recursion exactly:
+
+      * ``taylor``:          Σ⁺ = H Σ Hᵀ + diag(var + noise), H = a + J_mu,x
+      * ``mean_equivalent``: Σ⁺ = Σ + diag(var + noise)
+
+    (the portable perf path propagates open loop — no k_fb term in H,
+    solvers/sqp.py objective / multi_step_propagation call).
 
     Stage controls: the first ``r`` are SHARED with the safety tube
     (k_ff[:r]); the rest come from the free perf block at the tail of
@@ -544,17 +550,25 @@ def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len,
     n_s = len(x0)
     a_rows = _const_rows(a)
     b_rows = _const_rows(b)
+    method = getattr(cfg, "perf_method", "taylor")
+    taylor = method == "taylor"
+    noise = jnp.exp(2.0 * _gp_of(ssm).log_noise)            # (e,)
 
     def u_at(t):
         base = t * n_u if t < r else t_len * n_u + (t - r) * n_u
         return [u_flat[base + i] for i in range(n_u)]
 
     p = list(x0)
-    p_perf, var_perf = [], []
+    zero = jnp.zeros_like(x0[0])
+    sig = [[zero for _ in range(n_s)] for _ in range(n_s)]
+    p_perf, var_perf, sig_perf = [], [], []
     for t in range(cfg.n_perf):
         ut = u_at(t)
         z = jnp.stack(p + ut)
-        mu, var = _gp_predict_lanes(ssm, z, want_jac=False, impl=impl)
+        if want_sigma and taylor:
+            mu, var, jac = _gp_predict_lanes(ssm, z, want_jac=True, impl=impl)
+        else:
+            mu, var = _gp_predict_lanes(ssm, z, want_jac=False, impl=impl)
         p = [
             sum(a_rows[i][j] * p[j] for j in range(n_s))
             + sum(b_rows[i][k] * ut[k] for k in range(n_u))
@@ -563,6 +577,20 @@ def _rollout_perf_lanes(ssm, u_flat, x0, a, b, cfg, r, n_u, t_len,
         ]
         p_perf.append(p)
         var_perf.append([var[i] for i in range(n_s)])
+        if want_sigma:
+            if taylor:
+                h = [[a_rows[i][j] + jac[i, j] for j in range(n_s)]
+                     for i in range(n_s)]
+                sig = _mat_mul(_mat_mul(h, sig),
+                               [[h[j][i] for j in range(n_s)]
+                                for i in range(n_s)])
+            else:
+                sig = [[sig[i][j] for j in range(n_s)] for i in range(n_s)]
+            for i in range(n_s):
+                sig[i][i] = sig[i][i] + var[i] + noise[i]
+            sig_perf.append(sig)
+    if want_sigma:
+        return p_perf, var_perf, sig_perf
     return p_perf, var_perf
 
 
@@ -576,15 +604,19 @@ def _pack_y(p_traj, q_traj, var_traj, perf=None):
     for v in var_traj:
         parts += v
     if perf is not None:
-        p_perf, var_perf = perf
+        p_perf, var_perf, *sig = perf
         for p in p_perf:
             parts += p
         for v in var_perf:
             parts += v
+        if sig:
+            for s in sig[0]:
+                for row in s:
+                    parts += row
     return jnp.stack(parts)                                # (ny, B)
 
 
-def _unpack_y(y, t_len, n_s, n_perf=0):
+def _unpack_y(y, t_len, n_s, n_perf=0, with_sigma=False):
     idx = 0
     p_traj, q_traj, var_traj = [], [], []
     for _ in range(t_len):
@@ -606,7 +638,14 @@ def _unpack_y(y, t_len, n_s, n_perf=0):
     for _ in range(n_perf):
         var_perf.append([y[idx + i] for i in range(n_s)])
         idx += n_s
-    return p_traj, q_traj, var_traj, (p_perf, var_perf)
+    if not with_sigma:
+        return p_traj, q_traj, var_traj, (p_perf, var_perf)
+    sig_perf = []
+    for _ in range(n_perf):
+        sig_perf.append([[y[idx + i * n_s + j] for j in range(n_s)]
+                         for i in range(n_s)])
+        idx += n_s * n_s
+    return p_traj, q_traj, var_traj, (p_perf, var_perf, sig_perf)
 
 
 def _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs, h_mat_safe, h_safe):
@@ -654,15 +693,24 @@ def _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs, h_mat_safe, h_safe):
     return jnp.stack(rows)                                 # (n_con, B)
 
 
-# The lane backends' objective whitelist — Σ-FREE costs only. The lane perf
-# rollout (_rollout_perf_lanes) deliberately skips the input-covariance
-# recursion because these costs read only stage means and GP variances; a
-# Σ-consuming cost (e.g. solvers/costs.risk_tracking_cost, cost_kind
-# "risk_tracking") must NOT be added here without also implementing the lane
-# Sigma recursion — lanes_supported/cem_lanes_supported key off this tuple,
-# so an unlisted cost falls back to the vmapped portable path honestly
-# (VERDICT r4 weak #6: the coupling is now structural, not a docstring).
-_LANE_COSTS = ("tracking", "exploration")
+# The lane backends' objective whitelist. tracking/exploration are Σ-FREE
+# (they read only stage means and GP variances, so the perf rollout skips
+# the input-covariance recursion and ``taylor`` ≡ ``mean_equivalent`` —
+# pinned by the parity tests). risk_tracking is Σ-CONSUMING: for it the lane
+# perf rollout runs the full covariance recursion (_rollout_perf_lanes
+# want_sigma=True — the lane form of reachability/propagation) and the two
+# methods genuinely differ, matching the portable path. A new Σ-consuming
+# cost must be added to _wants_sigma as well — lanes_supported/
+# cem_lanes_supported key off this tuple, so an unlisted cost falls back to
+# the vmapped portable path honestly.
+_LANE_COSTS = ("tracking", "exploration", "risk_tracking")
+
+
+def _wants_sigma(cost_kind: str, n_perf: int) -> bool:
+    """Whether the lane rollout must carry the perf-trajectory covariance
+    recursion for this objective (with n_perf == 0 the risk cost reads the
+    safety tube's q_traj, which the tube rollout always carries)."""
+    return cost_kind == "risk_tracking" and n_perf > 0
 
 
 def _cost_lanes(cost_kind: str, cost_args: dict, y, u_flat, t_len, n_s, n_u,
@@ -673,17 +721,24 @@ def _cost_lanes(cost_kind: str, cost_args: dict, y, u_flat, t_len, n_s, n_u,
     (stage means/variances from the perf blocks of ``y``; the control
     penalty over u_perf_all = shared k_ff[:r] + free perf controls) — the
     portable cost_small contract (solvers/sqp._build_constraint_fn)."""
+    sig_cost = None
     if n_perf > 0:
-        *_, (p_cost, var_cost) = _unpack_y(y, t_len, n_s, n_perf)
+        if _wants_sigma(cost_kind, n_perf):
+            *_, (p_cost, var_cost, sig_cost) = _unpack_y(
+                y, t_len, n_s, n_perf, with_sigma=True
+            )
+        else:
+            *_, (p_cost, var_cost) = _unpack_y(y, t_len, n_s, n_perf)
         ctrl_idx = [t * n_u + k for t in range(r) for k in range(n_u)] + [
             t_len * n_u + m for m in range((n_perf - r) * n_u)
         ]
         t_cost = n_perf
     else:
         p_cost, q_traj, var_cost = _unpack_y(y, t_len, n_s)
+        sig_cost = q_traj          # the portable n_perf==0 contract: the
         ctrl_idx = [t * n_u + k for t in range(t_len) for k in range(n_u)]
-        t_cost = t_len
-    if cost_kind == "tracking":
+        t_cost = t_len             # risk cost prices the safety tube shapes
+    if cost_kind in ("tracking", "risk_tracking"):
         target = cost_args["target"]
         w_x = cost_args.get("w_x", 1.0)
         w_u = cost_args.get("w_u", 0.1)
@@ -694,7 +749,13 @@ def _cost_lanes(cost_kind: str, cost_args: dict, y, u_flat, t_len, n_s, n_u,
         )
         ctrl = sum(u_flat[m] ** 2 for m in ctrl_idx)
         term = sum((p_cost[-1][i] - target[i]) ** 2 for i in range(n_s))
-        return w_x * stage + w_u * ctrl + w_t * term
+        cost = w_x * stage + w_u * ctrl + w_t * term
+        if cost_kind == "risk_tracking":
+            w_s = cost_args.get("w_sigma", 1.0)
+            cost = cost + w_s * sum(
+                sig_cost[t][i][i] for t in range(t_cost) for i in range(n_s)
+            )
+        return cost
     if cost_kind == "exploration":
         scale = cost_args.get("scale", 1.0)
         return -scale * sum(
@@ -783,10 +844,11 @@ def solve_safempc_lanes(
     bmat = s_lift.T @ s_lift
 
     x0_rows = [x0[i] for i in range(n_s)]
+    want_sigma = _wants_sigma(cost_kind, cfg.n_perf)
 
     def rollout_y(u_flat):
         return _rollout_y_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg,
-                                bmat, r, n_u)
+                                bmat, r, n_u, want_sigma=want_sigma)
 
     def dist(y):
         return _dist_lanes(y, t_len, n_s, h_mat_obs, h_obs,
@@ -822,7 +884,7 @@ def solve_safempc_lanes(
         u_wide = jnp.moveaxis(cands, 0, 1).reshape(n_var, n_c * bsz)
         x0w = [jnp.tile(xr, n_c) for xr in x0_rows]
         y_wide = _rollout_y_lanes(ssm, u_wide, x0w, k_fb, a, b, cfg,
-                                  bmat, r, n_u)
+                                  bmat, r, n_u, want_sigma=want_sigma)
         return eval_wide(u_wide, y_wide, n_c).reshape(n_c, bsz)
 
     def gn_step(u, lam, mu):
@@ -998,10 +1060,11 @@ def lanes_supported(ssm, cfg: SqpConfig, cost_kind: str) -> bool:
         and not cfg.opt_k_fb
         and cfg.hessian == "gn"
         and cfg.linesearch == "exact"
-        # both perf methods are accepted ONLY because every cost in
-        # _LANE_COSTS is Σ-free, making them indistinguishable here (the
-        # identity the parity tests pin); Σ-consuming costs are excluded by
-        # the whitelist below and ride the vmapped portable path
+        # both perf methods are fully implemented on lanes: Σ-free costs
+        # skip the covariance recursion (the methods are provably identical
+        # there — pinned); risk_tracking runs the lane Σ recursion
+        # (_rollout_perf_lanes want_sigma=True), where the methods genuinely
+        # differ, matching the portable path
         and cfg.perf_method in ("taylor", "mean_equivalent")
         and cost_kind in _LANE_COSTS
     )

@@ -25,7 +25,11 @@ from safe_exploration_tpu.solvers.cem_lanes import (
     cem_lanes_supported,
     cem_plan_lanes,
 )
-from safe_exploration_tpu.solvers.costs import exploration_cost, tracking_cost
+from safe_exploration_tpu.solvers.costs import (
+    exploration_cost,
+    risk_tracking_cost,
+    tracking_cost,
+)
 
 
 def _make_setup(dtype, kern=("rbf", "rbf")):
@@ -80,6 +84,11 @@ def test_cem_lane_scoring_parity_exact():
         for kind, cost_fn, cargs in (
             ("tracking", tracking_cost(spec.target), {"target": spec.target}),
             ("exploration", exploration_cost(), {}),
+            # Σ-consuming: the lane scorer must run the perf covariance
+            # recursion (want_sigma) and price it identically to the
+            # portable cost (with n_perf=0 both read the safety tube q_traj)
+            ("risk_tracking", risk_tracking_cost(spec.target, w_sigma=3.0),
+             {"target": spec.target, "w_sigma": 3.0}),
         ):
             k_ref, feas_ref, viol_ref, info_ref = jax.vmap(
                 lambda x, w: cem_plan(

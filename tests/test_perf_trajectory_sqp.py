@@ -168,30 +168,114 @@ def test_risk_cost_taylor_vs_mean_equivalent_solve_differently(perf_exp):
     assert float(np.max(np.abs(u_taylor - u_meaneq))) > 1e-9
 
 
-def test_risk_cost_lane_backend_falls_back_honestly(perf_exp):
-    """risk_tracking reads Sigma, which the lane perf rollout does not
-    propagate — the lane predicates must reject it (sqp_lanes._LANE_COSTS)
-    and build_experiment's batch_planner must transparently run the vmapped
-    portable path instead."""
+def test_risk_cost_rides_the_lane_backend_exact_parity(perf_exp):
+    """risk_tracking is lane-SUPPORTED: ``_rollout_perf_lanes(want_sigma=
+    True)`` runs the lane-major form of the portable Σ recursion, so (a) the
+    lane predicates accept it, (b) the packed lane objective equals the
+    portable objective EXACTLY (f64) at random decision vectors for BOTH
+    propagation methods, and (c) the two methods genuinely differ on lanes —
+    the same observability the portable path pins."""
     from safe_exploration_tpu.solvers.cem_lanes import cem_lanes_supported
-    from safe_exploration_tpu.solvers.sqp_lanes import lanes_supported
+    from safe_exploration_tpu.solvers.costs import risk_tracking_cost
+    from safe_exploration_tpu.solvers.sqp import _build_constraint_fn
+    from safe_exploration_tpu.solvers.sqp_lanes import (
+        _cost_lanes,
+        _pack_y,
+        _rollout_lanes,
+        _rollout_perf_lanes,
+        lanes_supported,
+    )
 
-    _, _, ssm = perf_exp
+    _, exp, ssm = perf_exp
     scfg = SqpConfig(n_safe=3)
-    assert lanes_supported(ssm, scfg, "tracking")
-    assert not lanes_supported(ssm, scfg, "risk_tracking")
-    assert not cem_lanes_supported(ssm, "risk_tracking")
+    assert lanes_supported(ssm, scfg, "risk_tracking")
+    assert cem_lanes_supported(ssm, "risk_tracking")
 
+    env, a, b, k_fb = exp["env"], exp["a"], exp["b"], exp["k_fb"]
+    spec = env.spec
+    t_len, n_perf, r = 3, 6, 2
+    bsz = 5
+    key = jax.random.PRNGKey(23)
+    x0s = (jax.random.uniform(key, (bsz, 2), jnp.float64, -1.0, 1.0)
+           * jnp.asarray([0.15, 0.4], jnp.float64))
+    n_var = t_len + n_perf - r
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (bsz, n_var),
+                           jnp.float64, -0.5, 0.5)
+    u_flat = jnp.moveaxis(u, 0, -1)
+    x0_rows = [x0s.T[i] for i in range(2)]
+    s_lift = jnp.concatenate([jnp.eye(2, dtype=jnp.float64), k_fb], axis=0)
+    bmat = s_lift.T @ s_lift
+    k_fb_all = jnp.tile(k_fb[None], (t_len, 1, 1))
+    w_sigma = 7.0
+    cost_fn = risk_tracking_cost(spec.target, w_sigma=w_sigma)
+    args = {"target": spec.target, "w_sigma": w_sigma}
+
+    vals = {}
+    for method in ("taylor", "mean_equivalent"):
+        cfg2 = SqpConfig(n_safe=t_len, n_perf=n_perf, r_shared=r,
+                         perf_method=method)
+        perf = _rollout_perf_lanes(ssm, u_flat, x0_rows, a, b, cfg2, r, 1,
+                                   t_len, want_sigma=True)
+        y = _pack_y(*_rollout_lanes(ssm, u_flat, x0_rows, k_fb, a, b, cfg2,
+                                    bmat), perf=perf)
+        c_lane = _cost_lanes("risk_tracking", args, y, u_flat, t_len, 2, 1,
+                             n_perf=n_perf, r=r)
+        for i in range(bsz):
+            objective = _build_constraint_fn(
+                ssm, x0s[i], k_fb_all, a, b, cfg2,
+                spec.h_mat_obs, spec.h_obs, spec.h_mat_safe, spec.h_safe,
+                cost_fn,
+            )[0]
+            np.testing.assert_allclose(
+                float(c_lane[i]), float(objective(u[i])),
+                rtol=1e-9, atol=1e-12, err_msg=f"{method}/lane {i}",
+            )
+        vals[method] = np.asarray(c_lane)
+    assert float(np.max(np.abs(
+        vals["taylor"] - vals["mean_equivalent"]
+    ))) > 1e-10
+
+
+def test_risk_cost_batched_solve_through_lane_backend():
+    """End-to-end: build_experiment's batched planner with objective=
+    "risk_tracking" now routes through the lane solver (no portable
+    fallback) and its solves match the vmapped portable planner at the
+    decision level — plus the n_perf == 0 form, where risk prices the
+    SAFETY tube shapes q_traj on both paths."""
     cfg = ExperimentConfig(
-        name="risk_batch", solver="sqp", objective="risk_tracking",
-        n_safe=3, n_max=32, sqp_outer=3, sqp_inner=2,
+        name="risk_batch_lanes", solver="sqp", objective="risk_tracking",
+        w_sigma=5.0, n_safe=3, n_perf=6, r_shared=2, n_max=32,
+        sqp_outer=4, sqp_inner=2,
     )
     exp = build_experiment(cfg, dtype=jnp.float64)
-    x0s = jnp.asarray([[0.05, 0.1], [0.02, -0.05]], jnp.float64)
-    warm = jnp.zeros((2, 3, 1), jnp.float64)
-    k_ff, feas, viol, info = exp["batch_planner"](ssm, x0s, warm)
-    assert k_ff.shape == (2, 3, 1)
-    assert bool(jnp.all(jnp.isfinite(k_ff)))
+    ssm = _calibrated_ssm(exp)
+    x0s = jnp.asarray([[0.05, 0.1], [0.02, -0.05], [-0.04, 0.2]],
+                      jnp.float64)
+    warm = jnp.zeros((3, 3 + 6 - 2, 1), jnp.float64)
+    k_lane, feas, viol, info = exp["batch_planner"](ssm, x0s, warm)
+    assert k_lane.shape == (3, 3, 1)
+    assert bool(jnp.all(jnp.isfinite(k_lane)))
+    # portable reference: the vmapped single-instance planner
+    k_ref, feas_ref, _, info_ref = jax.vmap(
+        lambda x, w: exp["planner"](jax.random.PRNGKey(0), ssm, x, w)
+    )(x0s, warm)
+    assert np.asarray(feas).tolist() == np.asarray(feas_ref).tolist()
+    both = np.asarray(feas) & np.asarray(feas_ref)
+    if both.any():
+        c_l = np.asarray(info["cost"])[both]
+        c_r = np.asarray(info_ref["cost"])[both]
+        assert (c_l <= c_r + 0.1 * np.abs(c_r) + 1e-6).mean() >= 0.6
+
+    # n_perf == 0: risk reads the safety tube's q_traj on both backends
+    cfg0 = ExperimentConfig(
+        name="risk_batch_lanes0", solver="sqp", objective="risk_tracking",
+        w_sigma=5.0, n_safe=3, n_max=32, sqp_outer=3, sqp_inner=2,
+    )
+    exp0 = build_experiment(cfg0, dtype=jnp.float64)
+    warm0 = jnp.zeros((3, 3, 1), jnp.float64)
+    k0, feas0, _, _ = exp0["batch_planner"](ssm, x0s, warm0)
+    assert k0.shape == (3, 3, 1)
+    assert bool(jnp.all(jnp.isfinite(k0)))
 
 
 def test_opt_k_fb_joint_gain_optimization(perf_exp):
