@@ -997,6 +997,15 @@ def main():
         ("batch_episodes", 150, 35, _two(("batch_episode_steps_per_sec",
                     "batch_episode_feasible_frac"),
                    bench_batched_episodes)),
+        # batch-scaling point for the headline: the roofline analysis
+        # (tools/roofline.py) says the batch-512 solve is bound by the
+        # serial dependency chain, not FLOPs/bandwidth — so throughput
+        # should keep scaling with batch until the per-step kernels fill
+        # the chip. This row measures the same robust-budget cold solve at
+        # batch 4096 (fewer iters: same wall budget).
+        ("headline_b4096", 240, 60,
+         _two(("solves_per_sec_b4096", "feasible_frac_b4096"),
+              lambda: bench_solves(4096, 3, nm, nd, ns))),
         # GP latency rows (device-side)
         ("gp_latency", 90, 40,
          _two(("gp_refit_chol_ms_n256", "gp_predict_jac_ms_n256"),

@@ -20,6 +20,14 @@ _dist_lanes + _cost_lanes) is pinned in tests/test_pallas_cem_score.py;
 the device-side A/B lives in bench.py (cem score fused-vs-XLA rows). The
 kernel is dispatched only if that A/B says it wins (cem_gp_impl="fused").
 
+MEASURED VERDICT (v5e, full local pass 2026-08-20): parity, not a win —
+op-level 199.5 us fused vs 204.3 us for the XLA chain at L=16k lanes
+(~2% edge), dispatch-level CEM solves within the ~5% run-to-run noise
+band (40.3k vs 41.6k/39.5k solves/s). Replacing ~40 XLA kernel launches
+with ONE VMEM-resident launch buys ~2%: XLA's own fusion of this chain is
+already near-optimal, which closes the "structural fusion XLA cannot
+express" hypothesis with a number. XLA remains the default dispatch.
+
 Parity: the reference's CEM scorer is the torch batched rollout
 (``safempc_cem.py`` + ``gp_reachability_pytorch.onestep_reachability``,
 SURVEY.md §2.6/§3.5).

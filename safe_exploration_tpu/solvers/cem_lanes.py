@@ -137,9 +137,10 @@ def cem_plan_lanes(
     # "fused": the whole-rollout Pallas scorer (ops/pallas/cem_score — tube +
     # margins + cost in ONE kernel launch per evaluation) on the HOT wide
     # scoring path; the final y-producing pass stays XLA. Falls back outside
-    # the supported envelope (n_s==2, all-RBF, n_perf==0, stock costs, f32,
-    # TPU). "auto" resolves per the measured A/B in bench.py
-    # (cem_score_*_us + cem_solves_per_sec_fused rows).
+    # the supported envelope (n_s==2, all-RBF, n_perf==0, Σ-free stock
+    # costs, f32, TPU). Measured A/B (bench.py cem_score_*_us +
+    # cem_solves_per_sec_fused): op-level 199.5 vs 204.3 us, dispatch-level
+    # within run-to-run noise — parity, so "auto" stays XLA.
     use_fused = False
     if impl == "fused":
         from safe_exploration_tpu.ops.pallas.cem_score import (
