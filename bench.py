@@ -213,6 +213,59 @@ def bench_warm_solves(batch: int, iters: int, n_max: int, n_data: int,
     return solves_per_sec, steady_feas
 
 
+def bench_risk_solves(batch: int = 512, iters: int = 6, n_max: int = 128,
+                      n_data: int = 64, n_safe: int = 5):
+    """Batched cold solves under the Σ-CONSUMING risk_tracking objective.
+
+    The joint safety+performance NLP (n_perf=6, r_shared=2) with the
+    variance-priced tracking cost (solvers/costs.risk_tracking_cost,
+    perf_trajectory="taylor"): the lane backend carries the full lane-major
+    Σ recursion (sqp_lanes._rollout_perf_lanes want_sigma=True) inside the
+    GN-AL solve — driver-visible evidence that the risk-sensitive objective
+    rides the lane pipeline (round-5 feature; exact f64 objective parity
+    with the portable path is pinned in tests/test_perf_trajectory_sqp.py).
+    Returns (solves_per_sec, feasible_frac).
+    """
+    from safe_exploration_tpu.models.ssm import ssm_bucketed
+    from safe_exploration_tpu.runtime.config import (
+        ExperimentConfig,
+        build_experiment,
+    )
+    from safe_exploration_tpu.solvers.sqp import SqpConfig, sqp_warm_len
+
+    dtype = jnp.float32
+    _, ssm, x0s, _ = build(batch, n_max, n_data, n_safe, dtype)
+    # budget: feasibility on this joint 9-var NLP plateaus at ~0.867 (probed
+    # 10x3+3: 0.803, robust 14x3+6+4: 0.865, 12x3+4+2+e3: 0.867 at 26.2k/s
+    # — the violation-gated extras are the cheapest way to the plateau).
+    # At the SAME budget the plain-tracking joint NLP reaches 0.855: pricing
+    # variance into the objective steers plans toward low-uncertainty
+    # regions and slightly HELPS tube feasibility.
+    cfg = ExperimentConfig(
+        name="bench_risk", solver="sqp", objective="risk_tracking",
+        w_sigma=5.0, n_safe=n_safe, n_perf=6, r_shared=2, n_max=n_max,
+        sqp_outer=12, sqp_inner=3, sqp_polish=4, sqp_rescue=2,
+        sqp_polish_extra=3,
+    )
+    exp = build_experiment(cfg, dtype=dtype)
+    warm_rows = sqp_warm_len(
+        SqpConfig(n_safe=n_safe, n_perf=6, r_shared=2)
+    )
+    warm = jnp.zeros((batch, warm_rows, 1), dtype)
+    ssm_plan = ssm_bucketed(ssm)
+    bp = exp["batch_planner"]
+    solve = jax.jit(lambda x, w: bp(ssm_plan, x, w))
+
+    out = solve(x0s, warm)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve(x0s, warm)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, float(jnp.mean(out[1].astype(jnp.float32)))
+
+
 def bench_batched_episodes(batch: int = 256, n_steps: int = 16,
                            n_data: int = 48, n_max: int = 64,
                            backend: str = "lanes"):
@@ -1006,6 +1059,17 @@ def main():
         ("headline_b4096", 240, 60,
          _two(("solves_per_sec_b4096", "feasible_frac_b4096"),
               lambda: bench_solves(4096, 3, nm, nd, ns))),
+        # warm receding-horizon re-solves at the same scaling point: the
+        # short-budget closed-loop step has an even shorter dependency
+        # chain, so batch scaling pays MORE in the production regime
+        ("warm_b4096", 240, 45,
+         _two(("warm_solves_per_sec_b4096", "warm_feasible_frac_b4096"),
+              lambda: bench_warm_solves(4096, 0, nm, nd, ns))),
+        # the Σ-consuming risk-sensitive objective through the lane
+        # backend's perf-covariance recursion (round-5 feature row)
+        ("risk_lanes", 200, 30,
+         _two(("risk_solves_per_sec", "risk_feasible_frac"),
+              bench_risk_solves)),
         # GP latency rows (device-side)
         ("gp_latency", 90, 40,
          _two(("gp_refit_chol_ms_n256", "gp_predict_jac_ms_n256"),
