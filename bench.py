@@ -1033,21 +1033,21 @@ def main():
                   lambda: bench_solves(b, it, nm, nd, ns, outer=10, inner=3,
                                        polish=3, rescue=0, polish_extra=3))),
         # layout A/B: the vmapped portable path behind the lane backend's win
-        ("portable", 240, 25,
+        ("portable", 240, 20,
          _two(("portable_solves_per_sec", "portable_feasible_frac"),
               lambda: bench_solves(b, it, nm, nd, ns, backend="portable"))),
         # sparse model (BASELINE cfg 4 scale) inside the batched cold solve
-        ("sparse", 120, 35, _two(("sparse_solves_per_sec",
+        ("sparse", 120, 50, _two(("sparse_solves_per_sec",
                                   "sparse_feasible_frac"),
                    bench_sparse_solves)),
         # constrained-CEM batched solves (sampling-based solver family)
-        ("cem", 120, 20, _two(("cem_solves_per_sec", "cem_feasible_frac"),
+        ("cem", 120, 30, _two(("cem_solves_per_sec", "cem_feasible_frac"),
                    bench_cem_solves)),
         # single-plant production step latency (runtime/serve regime)
-        ("serve", 90, 30, lambda: _RESULT.update(
+        ("serve", 90, 20, lambda: _RESULT.update(
             {"serve_step_device_ms": round(_safe(bench_serve_step, nan), 3)})),
         # ONLINE-learning batched episodes (BASELINE config 3), lane backend
-        ("batch_episodes", 150, 35, _two(("batch_episode_steps_per_sec",
+        ("batch_episodes", 150, 80, _two(("batch_episode_steps_per_sec",
                     "batch_episode_feasible_frac"),
                    bench_batched_episodes)),
         # batch-scaling point for the headline: the roofline analysis
@@ -1056,7 +1056,7 @@ def main():
         # should keep scaling with batch until the per-step kernels fill
         # the chip. This row measures the same robust-budget cold solve at
         # batch 4096 (fewer iters: same wall budget).
-        ("headline_b4096", 240, 60,
+        ("headline_b4096", 240, 70,
          _two(("solves_per_sec_b4096", "feasible_frac_b4096"),
               lambda: bench_solves(4096, 3, nm, nd, ns))),
         # warm receding-horizon re-solves at the same scaling point: the
@@ -1071,54 +1071,54 @@ def main():
          _two(("risk_solves_per_sec", "risk_feasible_frac"),
               bench_risk_solves)),
         # GP latency rows (device-side)
-        ("gp_latency", 90, 40,
+        ("gp_latency", 90, 20,
          _two(("gp_refit_chol_ms_n256", "gp_predict_jac_ms_n256"),
               bench_gp_latency, digits=(3, 3))),
         ("sparse_gp_latency", 90, 30,
          _two(("sparse_gp_refit_ms_n10k_m256", "sparse_gp_predict_us_n10k"),
               bench_large_gp, digits=(3, 2))),
         # remaining layout A/Bs (vmapped portable paths, driver-visible)
-        ("batch_episodes_vmapped", 240, 35,
+        ("batch_episodes_vmapped", 240, 45,
          _two(("batch_episode_steps_per_sec_vmapped",
                "batch_episode_feasible_frac_vmapped"),
               lambda: bench_batched_episodes(backend="vmapped"))),
-        ("sparse_vmapped", 240, 35,
+        ("sparse_vmapped", 240, 45,
          _two(("sparse_solves_per_sec_vmapped", "sparse_feasible_frac_vmapped"),
               lambda: bench_sparse_solves(backend="vmapped"))),
-        ("cem_vmapped", 180, 25,
+        ("cem_vmapped", 180, 10,
          _two(("cem_solves_per_sec_vmapped", "cem_feasible_frac_vmapped"),
               lambda: bench_cem_solves(backend="vmapped"))),
         # the lane CEM solve with the XLA posterior chain — the
         # dispatch-level A/B for the fused Pallas posterior kernel
-        ("cem_xla_gp", 120, 20, _two(("cem_solves_per_sec_xla_gp",
+        ("cem_xla_gp", 120, 10, _two(("cem_solves_per_sec_xla_gp",
                     "cem_feasible_frac_xla_gp"),
                    lambda: bench_cem_solves(gp_impl="xla"))),
         # float-float fp64-equivalence evidence (cheap)
-        ("ff_chol", 30, 10, _fill_ff),
-        ("ff_refit", 60, 15, lambda: _RESULT.update(
+        ("ff_chol", 30, 5, _fill_ff),
+        ("ff_refit", 60, 22, lambda: _RESULT.update(
             {"ff_refit_ms_n128": round(_safe(bench_ff_refit, nan), 2)})),
         # single-instance CEM latency — the cem_backend A/B
-        ("cem_single_lanes", 120, 20,
+        ("cem_single_lanes", 120, 10,
          _two(("cem_single_ms_lanes", "cem_single_ms_unused"),
               bench_cem_single, digits=(3, 3))),
-        ("cem_single_portable", 120, 20,
+        ("cem_single_portable", 120, 8,
          _two(("cem_single_ms_portable", "cem_single_ms_unused2"),
               lambda: bench_cem_single(backend="portable"), digits=(3, 3))),
         # the STRUCTURAL-FUSION experiment: whole-rollout fused Pallas CEM
         # scorer vs the XLA chain — op-level and dispatch-level
-        ("cem_score_fused", 120, 40,
+        ("cem_score_fused", 120, 38,
          lambda: _RESULT.update(_safe(bench_cem_score_fused, {}))),
-        ("cem_fused_dispatch", 120, 25,
+        ("cem_fused_dispatch", 120, 24,
          _two(("cem_solves_per_sec_fused", "cem_feasible_frac_fused"),
               lambda: bench_cem_solves(gp_impl="fused"))),
         # op-level A/B of the fused posterior kernel at scorer scale
-        ("pallas_gp_predict", 90, 30,
+        ("pallas_gp_predict", 90, 14,
          lambda: _RESULT.update(_safe(bench_pallas_gp_predict, {}))),
         # Pallas library-kernel A/Bs (NOT dispatched; kept driver-visible)
-        ("pallas_chol", 120, 30, _fill_pallas_chol),
-        ("pallas_gram_trsm", 150, 60,
+        ("pallas_chol", 120, 14, _fill_pallas_chol),
+        ("pallas_gram_trsm", 320, 310,
          lambda: _RESULT.update(_safe(bench_pallas_gram_trsm, {}))),
-        ("pallas_chol_hbm", 150, 60,
+        ("pallas_chol_hbm", 420, 290,
          lambda: _RESULT.update(_safe(bench_pallas_chol_hbm, {}))),
     ]
 
