@@ -156,6 +156,11 @@ class ExperimentConfig:
                 f"config '{self.name}': unknown perf_trajectory "
                 f"{self.perf_trajectory!r} (taylor|mean_equivalent)"
             )
+        if self.cem_gp_impl not in ("auto", "xla", "pallas", "fused"):
+            raise ValueError(
+                f"config '{self.name}': unknown cem_gp_impl "
+                f"{self.cem_gp_impl!r} (auto|xla|pallas|fused)"
+            )
 
 
 def _warn_ignored_knobs(cfg: ExperimentConfig, ignored: tuple) -> None:

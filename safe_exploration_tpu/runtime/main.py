@@ -276,7 +276,11 @@ def run_experiment(cfg, *, out_dir: str | None = None, dtype=None,
             "latency_p99_ms": [stats["p99_ms"]],
         }}
         for name, vals in out["series"].items():
-            metrics.log_scalar(name, vals[0], step=0)
+            # latency percentiles are None (JSON null) when every recorded
+            # step was a post-compile first step (short runs) — skip the
+            # scalar log rather than coercing to NaN
+            if vals[0] is not None:
+                metrics.log_scalar(name, vals[0], step=0)
         metrics.flush()
     elif cfg.task == "uncertainty":
         import jax.numpy as jnp

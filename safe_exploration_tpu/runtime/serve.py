@@ -218,8 +218,10 @@ class ServeController:
         measured linking)."""
         lat = np.asarray(self._latencies, dtype=np.float64) * 1e3
         if lat.size == 0:
-            return {"n": 0, "p50_ms": float("nan"), "p99_ms": float("nan"),
-                    "mean_ms": float("nan")}
+            # None (JSON null), NOT NaN: a short run whose every step was a
+            # post-compile first step would otherwise write bare NaN tokens
+            # into the summary JSON, which strict parsers reject
+            return {"n": 0, "p50_ms": None, "p99_ms": None, "mean_ms": None}
         return {
             "n": int(lat.size),
             "p50_ms": float(np.percentile(lat, 50)),

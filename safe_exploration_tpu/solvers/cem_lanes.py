@@ -152,7 +152,7 @@ def cem_plan_lanes(
             and dtype == jnp.float32 and jax.default_backend() == "tpu"
         )
         impl = "xla"
-    if impl in ("auto", "fused"):
+    if impl == "auto":
         impl = "xla"
     elif impl == "pallas" and not (
         gp_pallas_supported(ssm) and dtype == jnp.float32

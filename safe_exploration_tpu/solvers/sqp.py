@@ -444,14 +444,20 @@ def solve_al_nlp(
 
     if cfg.n_polish_extra > 0:
         # violation-gated: only pay for the extra restoration when the
-        # budget left this instance infeasible (lax.cond skips it at runtime)
-        still_bad = (
-            jnp.sum(jnp.maximum(constraints(u_fin), 0.0)) > cfg.feas_tol
+        # budget left this instance infeasible (lax.cond skips it at
+        # runtime). The gate's constraint evaluation doubles as the return
+        # value on the converged path — no extra rollout there.
+        g_gate = constraints(u_fin)
+        still_bad = jnp.sum(jnp.maximum(g_gate, 0.0)) > cfg.feas_tol
+
+        def _restore(u, g):
+            u2 = do_polish(u, cfg.n_polish_extra)
+            return u2, constraints(u2)
+
+        u_fin, g_fin = jax.lax.cond(
+            still_bad, _restore, lambda u, g: (u, g), u_fin, g_gate
         )
-        u_fin = jax.lax.cond(
-            still_bad, lambda u: do_polish(u, cfg.n_polish_extra),
-            lambda u: u, u_fin,
-        )
+        return u_fin, lam_fin, g_fin
 
     return u_fin, lam_fin, constraints(u_fin)
 
@@ -608,15 +614,19 @@ def solve_al_nlp_gn(
 
     if cfg.n_polish_extra > 0:
         # violation-gated extra restoration (see SqpConfig.n_polish_extra):
-        # free at runtime when the schedule already converged
-        still_bad = (
-            jnp.sum(jnp.maximum(dist_small(outputs(u_fin)), 0.0))
-            > cfg.feas_tol
+        # free at runtime when the schedule already converged — the gate's
+        # distance evaluation doubles as the return value on that path
+        g_gate = dist_small(outputs(u_fin))
+        still_bad = jnp.sum(jnp.maximum(g_gate, 0.0)) > cfg.feas_tol
+
+        def _restore(u, g):
+            u2 = do_polish(u, cfg.n_polish_extra)
+            return u2, dist_small(outputs(u2))
+
+        u_fin, g_fin = jax.lax.cond(
+            still_bad, _restore, lambda u, g: (u, g), u_fin, g_gate
         )
-        u_fin = jax.lax.cond(
-            still_bad, lambda u: do_polish(u, cfg.n_polish_extra),
-            lambda u: u, u_fin,
-        )
+        return u_fin, lam_fin, g_fin
 
     return u_fin, lam_fin, dist_small(outputs(u_fin))
 

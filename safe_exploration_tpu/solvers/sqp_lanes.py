@@ -1009,20 +1009,25 @@ def solve_safempc_lanes(
     if cfg.n_polish_extra > 0:
         # violation-gated extra restoration (SqpConfig.n_polish_extra): the
         # gate is batch-GLOBAL (any lane still infeasible) — lax.cond skips
-        # the whole block at runtime when every lane converged, so warm
-        # re-solves pay nothing; polish steps only improve per-lane violation
-        # (candidate acceptance is monotone), so converged lanes are inert
-        # passengers when the block does run.
+        # the whole block at runtime when every lane converged; polish steps
+        # only improve per-lane violation (candidate acceptance is
+        # monotone), so converged lanes are inert passengers when the block
+        # does run. The gate's rollout doubles as the final y on the
+        # converged path, so the gate costs no extra tube evaluation there.
+        y_gate = rollout_y(u_fin)
         still_bad = jnp.any(
-            jnp.sum(jnp.maximum(dist(rollout_y(u_fin)), 0.0), axis=0)
-            > cfg.feas_tol
-        )
-        u_fin = jax.lax.cond(
-            still_bad, lambda u: do_polish(u, cfg.n_polish_extra),
-            lambda u: u, u_fin,
+            jnp.sum(jnp.maximum(dist(y_gate), 0.0), axis=0) > cfg.feas_tol
         )
 
-    y_fin = rollout_y(u_fin)
+        def _restore(u, y):
+            u2 = do_polish(u, cfg.n_polish_extra)
+            return u2, rollout_y(u2)
+
+        u_fin, y_fin = jax.lax.cond(
+            still_bad, _restore, lambda u, y: (u, y), u_fin, y_gate
+        )
+    else:
+        y_fin = rollout_y(u_fin)
     g_fin = dist(y_fin)
     violation = jnp.sum(jnp.maximum(g_fin, 0.0), axis=0)    # (B,)
     feasible = violation <= cfg.feas_tol

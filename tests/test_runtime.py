@@ -352,6 +352,10 @@ def test_config_backend_validation_at_construction():
         ExperimentConfig(name="bad", cem_backend="fast")
     with pytest.raises(ValueError, match="perf_trajectory"):
         ExperimentConfig(name="bad", perf_trajectory="exact")
+    # the fused-scorer selector too: a typo'd value would silently resolve
+    # to the XLA path in cem_plan_lanes and mislabel the dispatch A/B
+    with pytest.raises(ValueError, match="cem_gp_impl"):
+        ExperimentConfig(name="bad", cem_gp_impl="fuse")
 
 
 def test_cartpole_sqp_config_wires_joint_trajectories():
